@@ -1,0 +1,145 @@
+"""Multi-head attention with OMG's control semantics as explicit inputs.
+
+The torch reference implements its three attention behaviours by swapping
+diffusers AttnProcessors at runtime:
+  * prompt-to-prompt replace  (reference: src/prompt_attention/p2p_attention.py:124-147,
+    installed by src/pipelines/lora_pipeline.py:136-152 on every layer)
+  * IP-Adapter dual cross-attention (reference:
+    src/ip_adapter/attention_processor.py:296-424)
+  * LoRA deltas on the q/k/v/out projections (PEFT-injected).
+
+Here they are *arguments*: ``mha`` takes an optional ``probs_transform``
+(a pure function of the attention probabilities, used by the P2P
+controller), optional ``ip`` params + context (dual K/V scale-add), and
+optional ``lora`` deltas per projection. One function, one compiled
+program, every behaviour toggled by inputs.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+
+from omg_tpu.nn import layers
+
+Array = jax.Array
+Params = dict
+
+# probs_transform(probs, *, is_cross) -> probs, applied to [B, H, Nq, Nk]
+ProbsTransform = Callable[..., Array]
+
+
+def init_mha(key: Array, query_dim: int, *, context_dim: Optional[int] = None,
+             num_heads: int, head_dim: int, out_bias: bool = True,
+             dtype: Any = jnp.float32, qkv_bias: bool = False) -> Params:
+    """Projection params named after diffusers Attention (to_q/to_k/to_v/to_out)."""
+    inner = num_heads * head_dim
+    ctx = context_dim if context_dim is not None else query_dim
+    ks = jax.random.split(key, 4)
+    return {
+        "to_q": layers.init_linear(ks[0], query_dim, inner, bias=qkv_bias, dtype=dtype),
+        "to_k": layers.init_linear(ks[1], ctx, inner, bias=qkv_bias, dtype=dtype),
+        "to_v": layers.init_linear(ks[2], ctx, inner, bias=qkv_bias, dtype=dtype),
+        "to_out": layers.init_linear(ks[3], inner, query_dim, bias=out_bias, dtype=dtype),
+    }
+
+
+def init_ip_kv(key: Array, context_dim: int, inner_dim: int,
+               dtype: Any = jnp.float32) -> Params:
+    """IP-Adapter extra K/V projections (reference: attention_processor.py:316-317)."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "to_k_ip": layers.init_linear(k1, context_dim, inner_dim, bias=False, dtype=dtype),
+        "to_v_ip": layers.init_linear(k2, context_dim, inner_dim, bias=False, dtype=dtype),
+    }
+
+
+def _split_heads(x: Array, num_heads: int) -> Array:
+    b, n, _ = x.shape
+    return x.reshape(b, n, num_heads, -1).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x: Array) -> Array:
+    b, h, n, d = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * d)
+
+
+def sdpa(q: Array, k: Array, v: Array, *, mask: Optional[Array] = None) -> Array:
+    """Scaled dot-product attention on [B, H, N, D]; fp32 softmax."""
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def sdpa_with_probs(q: Array, k: Array, v: Array, *,
+                    probs_transform: ProbsTransform,
+                    is_cross: bool,
+                    mask: Optional[Array] = None) -> Array:
+    """Attention with materialized, transformable probabilities.
+
+    This is the XLA path for prompt-to-prompt control (the Pallas fused
+    kernel in omg_tpu.ops is the optimized equivalent). The reference
+    materializes probs on every hooked layer the same way
+    (reference: src/pipelines/lora_pipeline.py:98-116).
+    """
+    scale = q.shape[-1] ** -0.5
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    if mask is not None:
+        scores = scores + mask
+    probs = jax.nn.softmax(scores, axis=-1)
+    probs = probs_transform(probs, is_cross=is_cross)
+    return jnp.einsum("bhqk,bhkd->bhqd", probs.astype(v.dtype), v)
+
+
+def mha(p: Params, x: Array, *, num_heads: int,
+        context: Optional[Array] = None,
+        mask: Optional[Array] = None,
+        lora: Optional[Params] = None,
+        ip: Optional[Params] = None,
+        ip_context: Optional[Array] = None,
+        ip_scale: float | Array = 1.0,
+        ip_lora: Optional[Params] = None,
+        probs_transform: Optional[ProbsTransform] = None) -> Array:
+    """Multi-head attention over [B, N, C] tokens.
+
+    context=None => self-attention. With ``ip``/``ip_context`` set, runs the
+    IP-Adapter decoupled cross-attention: a second attention over the image
+    tokens added with ``ip_scale`` (reference: attention_processor.py:383-409).
+    """
+    is_cross = context is not None
+    ctx = context if is_cross else x
+
+    def la(name):
+        return None if lora is None else lora.get(name)
+
+    q = layers.linear(p["to_q"], x, la("to_q"))
+    k = layers.linear(p["to_k"], ctx, la("to_k"))
+    v = layers.linear(p["to_v"], ctx, la("to_v"))
+
+    qh = _split_heads(q, num_heads)
+    kh = _split_heads(k, num_heads)
+    vh = _split_heads(v, num_heads)
+
+    if probs_transform is not None:
+        out = sdpa_with_probs(qh, kh, vh, probs_transform=probs_transform,
+                              is_cross=is_cross, mask=mask)
+    else:
+        out = sdpa(qh, kh, vh, mask=mask)
+
+    if ip is not None and ip_context is not None:
+        def ipla(name):
+            return None if ip_lora is None else ip_lora.get(name)
+        k_ip = _split_heads(layers.linear(ip["to_k_ip"], ip_context, ipla("to_k_ip")), num_heads)
+        v_ip = _split_heads(layers.linear(ip["to_v_ip"], ip_context, ipla("to_v_ip")), num_heads)
+        ip_out = sdpa(qh, k_ip, v_ip)
+        out = out + jnp.asarray(ip_scale, out.dtype) * ip_out
+
+    out = _merge_heads(out)
+    return layers.linear(p["to_out"], out, la("to_out"))
