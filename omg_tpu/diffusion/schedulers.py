@@ -1,0 +1,193 @@
+"""Diffusion noise schedules as pure functions (scan-friendly).
+
+The reference delegates to diffusers KarrasDiffusionSchedulers
+(reference: src/pipelines/lora_pipeline.py:33,176; SDXL-base's default is
+EulerDiscrete with scaled_linear betas, leading spacing, steps_offset=1;
+inference_instantid.py:8 imports DPMSolverMultistepScheduler but never
+instantiates it). Here a schedule is a NamedTuple of precomputed arrays +
+two pure functions (``scale_model_input``, ``step``), so the 50-step
+denoise compiles to a single XLA program with a `lax.scan`/fori loop —
+no Python-side scheduler object mutating state between steps.
+
+All schedules share one state layout (previous model output + validity
+flag) so Euler/DDIM/DPM++2M are interchangeable inside the same jitted
+sampler.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+EULER = 0
+DDIM = 1
+DPMPP_2M = 2
+
+_KINDS = {"euler": EULER, "ddim": DDIM, "dpmpp_2m": DPMPP_2M}
+
+
+class Schedule(NamedTuple):
+    kind: int                 # static int (EULER/DDIM/DPMPP_2M)
+    timesteps: Array          # [S] int32, descending
+    sigmas: Array             # [S+1] fp32 (0-terminated); karras sigma space
+    alphas_cumprod: Array     # [T] fp32 training alphas-bar
+    init_noise_sigma: Array   # scalar fp32
+    num_steps: int            # static
+
+
+class SchedulerState(NamedTuple):
+    """Uniform carry for multistep methods (unused slots stay zero)."""
+    prev_model_output: Array  # DPM++2M: previous converted x0 prediction
+    step_count: Array         # scalar int32
+
+
+def betas_scaled_linear(num_train_timesteps: int = 1000,
+                        beta_start: float = 0.00085,
+                        beta_end: float = 0.012) -> np.ndarray:
+    """SDXL's "scaled_linear" beta schedule."""
+    return np.linspace(beta_start ** 0.5, beta_end ** 0.5,
+                       num_train_timesteps, dtype=np.float64) ** 2
+
+
+def make_schedule(kind: str, num_steps: int, *,
+                  num_train_timesteps: int = 1000,
+                  timestep_spacing: str = "leading",
+                  steps_offset: int = 1) -> Schedule:
+    betas = betas_scaled_linear(num_train_timesteps)
+    alphas_cumprod = np.cumprod(1.0 - betas)
+
+    if timestep_spacing == "leading":
+        ratio = num_train_timesteps // num_steps
+        timesteps = (np.arange(num_steps) * ratio + steps_offset)[::-1].copy()
+    elif timestep_spacing == "trailing":
+        ratio = num_train_timesteps / num_steps
+        timesteps = np.round(
+            np.arange(num_train_timesteps, 0, -ratio)).astype(np.int64) - 1
+    else:  # linspace
+        timesteps = np.linspace(
+            0, num_train_timesteps - 1, num_steps)[::-1].round().astype(np.int64)
+    timesteps = timesteps.astype(np.float64)
+
+    sigmas_full = ((1 - alphas_cumprod) / alphas_cumprod) ** 0.5
+    sigmas = np.interp(timesteps, np.arange(num_train_timesteps), sigmas_full)
+    sigmas = np.concatenate([sigmas, [0.0]])
+
+    kind_i = _KINDS[kind]
+    if kind_i == EULER and timestep_spacing == "leading":
+        init_noise_sigma = (sigmas.max() ** 2 + 1) ** 0.5
+    elif kind_i == EULER:
+        init_noise_sigma = sigmas.max()
+    else:
+        init_noise_sigma = 1.0
+
+    return Schedule(
+        kind=kind_i,
+        timesteps=jnp.asarray(timesteps.astype(np.int32)),
+        sigmas=jnp.asarray(sigmas, jnp.float32),
+        alphas_cumprod=jnp.asarray(alphas_cumprod, jnp.float32),
+        init_noise_sigma=jnp.asarray(init_noise_sigma, jnp.float32),
+        num_steps=num_steps,
+    )
+
+
+def init_state(sched: Schedule, latents_shape: tuple) -> SchedulerState:
+    return SchedulerState(
+        prev_model_output=jnp.zeros(latents_shape, jnp.float32),
+        step_count=jnp.zeros((), jnp.int32),
+    )
+
+
+def scale_model_input(sched: Schedule, latents: Array, i: Array) -> Array:
+    """Euler divides by sqrt(sigma^2+1); DDIM/DPM sample stays unit-variance."""
+    if sched.kind == EULER:
+        sigma = sched.sigmas[i].astype(latents.dtype)
+        return latents / jnp.sqrt(sigma * sigma + 1.0)
+    return latents
+
+
+def scale_initial_noise(sched: Schedule, noise: Array) -> Array:
+    if sched.kind == EULER:
+        return noise * sched.init_noise_sigma.astype(noise.dtype)
+    return noise
+
+
+def _euler_step(sched: Schedule, eps: Array, i: Array, x: Array) -> Array:
+    # x lives in "expanded" sigma-space: x = x0 + sigma * noise.
+    sigma, sigma_next = sched.sigmas[i], sched.sigmas[i + 1]
+    return (x.astype(jnp.float32)
+            + eps.astype(jnp.float32) * (sigma_next - sigma)).astype(x.dtype)
+
+
+def _ddim_step(sched: Schedule, eps: Array, i: Array, x: Array) -> Array:
+    t = sched.timesteps[i]
+    a_t = sched.alphas_cumprod[t]
+    ratio = 1000 // sched.num_steps
+    prev_t = t - ratio
+    a_prev = jnp.where(prev_t >= 0, sched.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0)
+    xf, ef = x.astype(jnp.float32), eps.astype(jnp.float32)
+    x0 = (xf - jnp.sqrt(1 - a_t) * ef) / jnp.sqrt(a_t)
+    out = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * ef
+    return out.astype(x.dtype)
+
+
+def _dpmpp_2m_step(sched: Schedule, state: SchedulerState, eps: Array,
+                   i: Array, x: Array) -> tuple[Array, SchedulerState]:
+    """DPM-Solver++(2M) in sigma space (data-prediction multistep).
+
+    lambda = -log(sigma_hat) with sigma_hat = sigma/alpha; here we use the
+    karras convention x = x0 + sigma*eps (alpha=1), so lambda = -log(sigma).
+    """
+    sigmas = sched.sigmas
+    sigma, sigma_next = sigmas[i], sigmas[i + 1]
+    sigma_prev = sigmas[jnp.maximum(i - 1, 0)]
+    xf, ef = x.astype(jnp.float32), eps.astype(jnp.float32)
+    x0 = xf - sigma * ef
+
+    def lam(s):
+        return -jnp.log(jnp.maximum(s, 1e-10))
+
+    h = lam(sigma_next) - lam(sigma)
+    h_last = lam(sigma) - lam(sigma_prev)
+    r = h_last / jnp.maximum(h, 1e-10)
+
+    # First step (or final sigma==0): first-order update.
+    first = state.step_count == 0
+    d = jnp.where(first | (sigma_next == 0.0), x0,
+                  (1 + 1 / (2 * r)) * x0 - (1 / (2 * r)) * state.prev_model_output)
+    # Data-prediction form: x_next = (sigma_next/sigma) x - (e^{-h}-1) D
+    ratio = sigma_next / jnp.maximum(sigma, 1e-10)
+    out = ratio * xf - jnp.expm1(-h) * d
+    out = jnp.where(sigma_next == 0.0, x0, out)
+    new_state = SchedulerState(prev_model_output=x0,
+                               step_count=state.step_count + 1)
+    return out.astype(x.dtype), new_state
+
+
+def step(sched: Schedule, state: SchedulerState, eps: Array, i: Array,
+         x: Array) -> tuple[Array, SchedulerState]:
+    """One scheduler update. eps is the epsilon (noise) prediction."""
+    if sched.kind == EULER:
+        nxt = _euler_step(sched, eps, i, x)
+        return nxt, SchedulerState(state.prev_model_output, state.step_count + 1)
+    if sched.kind == DDIM:
+        nxt = _ddim_step(sched, eps, i, x)
+        return nxt, SchedulerState(state.prev_model_output, state.step_count + 1)
+    if sched.kind == DPMPP_2M:
+        return _dpmpp_2m_step(sched, state, eps, i, x)
+    raise ValueError(f"unknown schedule kind {sched.kind}")
+
+
+def add_noise(sched: Schedule, x0: Array, noise: Array, i: Array) -> Array:
+    """Forward-noise x0 to step i, in each schedule's sample space."""
+    if sched.kind == EULER or sched.kind == DPMPP_2M:
+        return x0 + sched.sigmas[i].astype(x0.dtype) * noise
+    t = sched.timesteps[i]
+    a = sched.alphas_cumprod[t]
+    return (jnp.sqrt(a) * x0.astype(jnp.float32)
+            + jnp.sqrt(1 - a) * noise.astype(jnp.float32)).astype(x0.dtype)

@@ -1,0 +1,102 @@
+"""Scheduler correctness via analytic invariants (no diffusers available).
+
+Strongest check: the "perfect denoiser" invariant — if the model always
+returns the true noise for the current sample, every schedule must recover
+x0 exactly (to fp error) at sigma=0, regardless of step count.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omg_tpu.diffusion import sampling, schedulers
+
+
+def test_leading_timesteps_match_sdxl_defaults():
+    s = schedulers.make_schedule("euler", 50)
+    ts = np.asarray(s.timesteps)
+    assert ts[0] == 981 and ts[-1] == 1 and len(ts) == 50
+    assert np.all(np.diff(ts) == -20)
+    # sigma at t=981 for SDXL scaled_linear betas: sqrt((1-abar)/abar)
+    betas = schedulers.betas_scaled_linear()
+    abar = np.cumprod(1 - betas)[981]
+    np.testing.assert_allclose(float(s.sigmas[0]),
+                               ((1 - abar) / abar) ** 0.5, rtol=1e-4)
+    assert float(s.sigmas[-1]) == 0.0
+    # leading spacing => init_noise_sigma = sqrt(sigma_max^2+1)
+    np.testing.assert_allclose(float(s.init_noise_sigma),
+                               (float(s.sigmas[0]) ** 2 + 1) ** 0.5, rtol=1e-6)
+
+
+def test_sigmas_monotone_decreasing():
+    for kind in ("euler", "ddim", "dpmpp_2m"):
+        s = schedulers.make_schedule(kind, 30)
+        assert np.all(np.diff(np.asarray(s.sigmas)) < 1e-12)
+
+
+@pytest.mark.parametrize("kind", ["euler", "dpmpp_2m"])
+@pytest.mark.parametrize("steps", [5, 50])
+def test_perfect_denoiser_recovers_x0_sigma_space(kind, steps):
+    key = jax.random.PRNGKey(0)
+    k1, k2 = jax.random.split(key)
+    x0 = jax.random.normal(k1, (2, 4, 4, 3))
+    noise = jax.random.normal(k2, x0.shape)
+    sched = schedulers.make_schedule(kind, steps)
+    # sigma-space start: x = x0 + sigma_max * noise
+    x = x0 + sched.sigmas[0] * noise
+
+    def model_fn(x_in, t, i):
+        # invert scale_model_input to get back the raw sample, then the
+        # true eps for that sample: eps = (x - x0)/sigma
+        sigma = sched.sigmas[i]
+        x_raw = x_in * jnp.sqrt(sigma**2 + 1) if kind == "euler" else x_in
+        return (x_raw - x0) / jnp.maximum(sigma, 1e-8)
+
+    out = sampling.denoise_loop(sched, model_fn, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+
+@pytest.mark.parametrize("steps", [10, 50])
+def test_perfect_denoiser_recovers_x0_ddim(steps):
+    key = jax.random.PRNGKey(1)
+    k1, k2 = jax.random.split(key)
+    x0 = jax.random.normal(k1, (1, 4, 4, 2))
+    noise = jax.random.normal(k2, x0.shape)
+    sched = schedulers.make_schedule("ddim", steps)
+    a0 = sched.alphas_cumprod[sched.timesteps[0]]
+    x = jnp.sqrt(a0) * x0 + jnp.sqrt(1 - a0) * noise
+
+    def model_fn(x_in, t, i):
+        a = sched.alphas_cumprod[sched.timesteps[i]]
+        return (x_in - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+
+    out = sampling.denoise_loop(sched, model_fn, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x0), atol=1e-3)
+
+
+def test_euler_single_step_formula():
+    sched = schedulers.make_schedule("euler", 50)
+    x = jnp.ones((1, 2, 2, 1)) * 3.0
+    eps = jnp.ones_like(x) * 0.5
+    st = schedulers.init_state(sched, x.shape)
+    out, _ = schedulers.step(sched, st, eps, jnp.asarray(0), x)
+    want = 3.0 + 0.5 * (float(sched.sigmas[1]) - float(sched.sigmas[0]))
+    np.testing.assert_allclose(np.asarray(out), want, rtol=1e-5)
+
+
+def test_add_noise_roundtrip_euler():
+    sched = schedulers.make_schedule("euler", 50)
+    x0 = jnp.ones((1, 2, 2, 1))
+    noise = jnp.full_like(x0, 2.0)
+    noised = schedulers.add_noise(sched, x0, noise, jnp.asarray(10))
+    np.testing.assert_allclose(
+        np.asarray(noised), 1.0 + 2.0 * float(sched.sigmas[10]), rtol=1e-5)
+
+
+def test_cfg_combine():
+    uncond = jnp.zeros((2, 2))
+    cond = jnp.ones((2, 2))
+    out = sampling.cfg_combine(jnp.concatenate([uncond, cond]), 7.5)
+    np.testing.assert_allclose(np.asarray(out), 7.5)
+    assert out.shape == (2, 2)
