@@ -1,0 +1,178 @@
+"""UNet structural + behavioural tests (tiny config, CPU).
+
+The reference never tests its UNet usage (SURVEY.md §4); these verify the
+properties OMG relies on: LoRA deltas change outputs and are linear in
+scale, the P2P controller hook fires on the right layers, ControlNet
+residual injection shifts outputs, and IP dual-attention adds image tokens.
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from omg_tpu import config
+from omg_tpu.models import unet
+from omg_tpu.nn.attention import init_ip_kv
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = config.tiny_unet()
+    params = unet.init_params(jax.random.PRNGKey(0), cfg)
+    return cfg, params
+
+
+def _inputs(cfg, b=2, seed=1):
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    s = cfg.sample_size
+    sample = jax.random.normal(ks[0], (b, s, s, cfg.in_channels))
+    ehs = jax.random.normal(ks[1], (b, 77, cfg.cross_attention_dim))
+    pooled = jax.random.normal(ks[2], (b, 16))
+    time_ids = jnp.tile(jnp.array([[s * 8, s * 8, 0, 0, s * 8, s * 8]],
+                                  jnp.float32), (b, 1))
+    return sample, ehs, pooled, time_ids
+
+
+def test_forward_shape(tiny):
+    cfg, p = tiny
+    sample, ehs, pooled, tids = _inputs(cfg)
+    out = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+                     text_embeds=pooled, time_ids=tids)
+    assert out.shape == sample.shape
+    assert jnp.isfinite(out).all()
+
+
+def test_timestep_changes_output(tiny):
+    cfg, p = tiny
+    sample, ehs, pooled, tids = _inputs(cfg)
+    a = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+                   text_embeds=pooled, time_ids=tids)
+    b = unet.apply(p, cfg, sample, jnp.asarray(900), ehs,
+                   text_embeds=pooled, time_ids=tids)
+    assert not jnp.allclose(a, b)
+
+
+def _make_lora(cfg, rank=4, scale=1.0, seed=7):
+    """LoRA on attn2 to_q of the first cross-attn down block."""
+    k1, k2 = jax.random.split(jax.random.PRNGKey(seed))
+    inner = cfg.block_out_channels[1]
+    delta = {
+        "down": jax.random.normal(k1, (inner, rank)) * 0.1,
+        "up": jax.random.normal(k2, (rank, inner)) * 0.1,
+        "scale": jnp.asarray(scale, jnp.float32),
+    }
+    return {"down_blocks": {1: {"attentions": {0: {"transformer_blocks": {
+        0: {"attn2": {"to_q": delta}}}}}}}}
+
+
+def test_lora_changes_output_linearly(tiny):
+    cfg, p = tiny
+    sample, ehs, pooled, tids = _inputs(cfg)
+
+    def run(lora):
+        return unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+                          text_embeds=pooled, time_ids=tids, lora=lora)
+
+    base = run(None)
+    zero = run(_make_lora(cfg, scale=0.0))
+    one = run(_make_lora(cfg, scale=1.0))
+    assert jnp.allclose(base, zero, atol=1e-5)
+    assert not jnp.allclose(base, one, atol=1e-3)
+
+
+class CountingControl:
+    """Records which layers want probs; identity transform."""
+
+    def __init__(self, self_max_q):
+        self.self_max_q = self_max_q
+        self.calls = []
+
+    def wants(self, *, is_cross, num_queries):
+        return is_cross or num_queries <= self.self_max_q
+
+    def __call__(self, probs, *, is_cross):
+        self.calls.append((is_cross, probs.shape))
+        return probs
+
+
+def test_control_hook_layer_gating(tiny):
+    cfg, p = tiny
+    sample, ehs, pooled, tids = _inputs(cfg)
+    s = cfg.sample_size  # 16 -> level-1 features are 8x8=64 tokens
+    ctrl = CountingControl(self_max_q=64)
+    out = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+                     text_embeds=pooled, time_ids=tids, control=ctrl)
+    n_cross = sum(1 for c, _ in ctrl.calls if c)
+    n_self = sum(1 for c, _ in ctrl.calls if not c)
+    assert n_cross == unet.num_cross_attention_layers(cfg)
+    # every self-attn layer in tiny config has 64 queries -> all gated in
+    assert n_self == n_cross
+    # identity transform must not change the output vs no control
+    base = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+                      text_embeds=pooled, time_ids=tids)
+    assert jnp.allclose(out, base, atol=1e-5)
+
+    strict = CountingControl(self_max_q=0)  # gate out all self-attn
+    unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+               text_embeds=pooled, time_ids=tids, control=strict)
+    assert sum(1 for c, _ in strict.calls if not c) == 0
+
+
+def test_controlnet_residual_injection(tiny):
+    cfg, p = tiny
+    sample, ehs, pooled, tids = _inputs(cfg)
+    base = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+                      text_embeds=pooled, time_ids=tids)
+    # residual structure: conv_in + one per (resnet|downsample) step
+    s = cfg.sample_size
+    shapes = [(2, s, s, 32), (2, s, s, 32), (2, s // 2, s // 2, 32),
+              (2, s // 2, s // 2, 64)]
+    down_res = [jnp.ones(sh) * 0.1 for sh in shapes]
+    mid_res = jnp.ones((2, s // 2, s // 2, 64)) * 0.1
+    out = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+                     text_embeds=pooled, time_ids=tids,
+                     down_block_residuals=down_res, mid_block_residual=mid_res)
+    assert not jnp.allclose(base, out, atol=1e-3)
+
+
+def test_ip_adapter_dual_attention(tiny):
+    cfg, p = tiny
+    sample, ehs, pooled, tids = _inputs(cfg)
+    n_ip = unet.num_cross_attention_layers(cfg)
+    inner_dims = []
+    # attn2 traversal order: down level1 (2 resnets x1 depth), mid, up level
+    # tiny config: down_blocks[1] has 1 layer depth x 1 resnet... compute dims
+    # simpler: infer from params at runtime via init with matching dims
+    ks = jax.random.split(jax.random.PRNGKey(3), n_ip)
+    # tiny: all cross-attn layers live at channel width 64
+    ip_list = [init_ip_kv(k, cfg.cross_attention_dim, 64) for k in ks]
+    ip_ctx = jax.random.normal(jax.random.PRNGKey(4), (2, 4, cfg.cross_attention_dim))
+
+    base = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+                      text_embeds=pooled, time_ids=tids)
+    zero = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+                      text_embeds=pooled, time_ids=tids,
+                      ip_adapter=ip_list, ip_context=ip_ctx, ip_scale=0.0)
+    on = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
+                    text_embeds=pooled, time_ids=tids,
+                    ip_adapter=ip_list, ip_context=ip_ctx, ip_scale=0.8)
+    assert jnp.allclose(base, zero, atol=1e-5)
+    assert not jnp.allclose(base, on, atol=1e-3)
+
+
+def test_jit_compiles_once_for_both_stages(tiny):
+    """Stage 1/2 share a program when control inputs are traced values."""
+    cfg, p = tiny
+    sample, ehs, pooled, tids = _inputs(cfg)
+
+    traces = []
+
+    @jax.jit
+    def f(sample, t):
+        traces.append(1)
+        return unet.apply(p, cfg, sample, t, ehs,
+                          text_embeds=pooled, time_ids=tids)
+
+    f(sample, jnp.asarray(10))
+    f(sample, jnp.asarray(900))
+    assert len(traces) == 1
