@@ -157,7 +157,9 @@ def tiny_unet() -> UNetConfig:
         layers_per_block=1,
         transformer_layers_per_block=(0, 1),
         attention_head_dim=8,
-        cross_attention_dim=32,
+        # = tiny_text_encoder.hidden (32) + tiny_text_encoder_2.hidden (16),
+        # mirroring SDXL's 768 + 1280 = 2048 dual-encoder concat.
+        cross_attention_dim=48,
         addition_time_embed_dim=8,
         # pooled (16) + 6 * 8
         projection_class_embeddings_input_dim=16 + 6 * 8,
@@ -167,8 +169,10 @@ def tiny_unet() -> UNetConfig:
 
 
 def tiny_vae() -> VAEConfig:
+    # Four levels like the real SDXL VAE so the pixel/latent ratio stays 8x
+    # (3 down/upsamples) and every block depth is exercised.
     return VAEConfig(
-        block_out_channels=(16, 32),
+        block_out_channels=(8, 8, 16, 16),
         layers_per_block=1,
         norm_num_groups=8,
         dtype=jnp.float32,
@@ -184,6 +188,21 @@ def tiny_text_encoder(projection_dim: int = 0) -> CLIPTextConfig:
         num_heads=4,
         max_position_embeddings=77,
         projection_dim=projection_dim,
+        dtype=jnp.float32,
+    )
+
+
+def tiny_text_encoder_2() -> CLIPTextConfig:
+    """Tiny stand-in for OpenCLIP bigG (has a text projection)."""
+    return CLIPTextConfig(
+        vocab_size=1000,
+        hidden_size=16,
+        intermediate_size=32,
+        num_layers=2,
+        num_heads=4,
+        max_position_embeddings=77,
+        hidden_act="gelu",
+        projection_dim=16,
         dtype=jnp.float32,
     )
 

@@ -41,6 +41,23 @@ class Schedule(NamedTuple):
     num_steps: int            # static
 
 
+def _sched_flatten(s: "Schedule"):
+    children = (s.timesteps, s.sigmas, s.alphas_cumprod, s.init_noise_sigma)
+    return children, (s.kind, s.num_steps)
+
+
+def _sched_unflatten(aux, children):
+    kind, num_steps = aux
+    return Schedule(kind, children[0], children[1], children[2], children[3],
+                    num_steps)
+
+
+# Override the default NamedTuple flattening: `kind` and `num_steps` drive
+# static control flow (fori_loop bounds, branch selection) and must stay
+# aux_data, not traced leaves.
+jax.tree_util.register_pytree_node(Schedule, _sched_flatten, _sched_unflatten)
+
+
 class SchedulerState(NamedTuple):
     """Uniform carry for multistep methods (unused slots stay zero)."""
     prev_model_output: Array  # DPM++2M: previous converted x0 prediction
