@@ -1,0 +1,144 @@
+"""Benchmark: OMG 2-concept 1024x1024 50-step end-to-end generation.
+
+Measures the reference's implicit headline workload (BASELINE.md): both
+OMG stages (stage 1: 50-step base denoise with P2P control; stage 2:
+50-step denoise with per-concept LoRA UNets fused after step 15) plus
+the fp32 VAE decode, at SDXL-base geometry in bf16, on one chip.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "s", "vs_baseline": ...}
+vs_baseline is (driver target 5 s) / measured — >1 beats the target.
+
+Weights are randomly initialized (no checkpoints ship in this image);
+compute cost is identical to converted weights.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from omg_tpu.control import p2p
+    from omg_tpu.diffusion import schedulers
+    from omg_tpu.models import unet as unet_lib
+    from omg_tpu.models import vae as vae_lib
+    from omg_tpu.pipelines import multiconcept, sdxl
+
+    size = os.environ.get("OMG_BENCH_SIZE", "sdxl")
+    steps = int(os.environ.get("OMG_BENCH_STEPS", "50"))
+    reps = int(os.environ.get("OMG_BENCH_REPS", "3"))
+
+    if size == "tiny":
+        cfg = sdxl.tiny_config()
+        H = W = 32
+    else:
+        cfg = sdxl.sdxl_config()
+        H = W = 1024
+
+    key = jax.random.PRNGKey(0)
+    unet_params = unet_lib.init_params(key, cfg.unet)
+    vae_params = vae_lib.init_params(jax.random.PRNGKey(1), cfg.vae)
+    sched = schedulers.make_schedule("euler", steps)
+
+    d = cfg.unet.cross_attention_dim
+    p_dim = cfg.text_encoder_2.projection_dim or cfg.text_encoder_2.hidden_size
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    dt = cfg.unet.dtype
+    ep = jax.random.normal(ks[0], (1, 77, d), dt)
+    en = jax.random.normal(ks[1], (1, 77, d), dt)
+    pp = jax.random.normal(ks[2], (1, p_dim), dt)
+    pn = jax.random.normal(ks[3], (1, p_dim), dt)
+    tids = sdxl.add_time_ids((H, W), (0, 0), (H, W))
+    base = multiconcept.make_base_inputs(ep, pp, en, pn, tids, 7.5)
+    concept = multiconcept.make_concept_inputs(ep, pp, en, pn, tids)
+    ctl = p2p.P2PControl.build(["x", "x"], num_steps=steps,
+                               self_replace_steps=0.4,
+                               width=H // 32, height=W // 32)
+
+    # Two concept LoRAs at rank 32 on every attention projection of the
+    # mid block + deepest down/up blocks (realistic character-LoRA cost).
+    def make_lora(seed):
+        rng = np.random.default_rng(seed)
+        rank = 32
+
+        def leaf(dim_in, dim_out):
+            return {
+                "down": jnp.asarray(
+                    rng.standard_normal((dim_in, rank)) * 0.01, dt),
+                "up": jnp.asarray(
+                    rng.standard_normal((rank, dim_out)) * 0.01, dt),
+                "scale": jnp.asarray(0.8, jnp.float32),
+            }
+
+        def block(dim, ctx, depth):
+            return {"attentions": [{"transformer_blocks": [
+                {"attn1": {k: leaf(dim, dim) for k in
+                           ("to_q", "to_k", "to_v", "to_out")},
+                 "attn2": {"to_q": leaf(dim, dim),
+                           "to_k": leaf(ctx, dim),
+                           "to_v": leaf(ctx, dim),
+                           "to_out": leaf(dim, dim)}}
+                for _ in range(depth)]}]}
+
+        chs = cfg.unet.block_out_channels
+        depths = cfg.unet.transformer_layers_per_block
+        return {"mid_block": block(chs[-1], d, depths[-1])}
+
+    loras = (make_lora(10), make_lora(11))
+
+    m = np.zeros((2, H // 8, W // 8), np.float32)
+    m[0, :, : W // 16] = 1.0
+    m[1, :, W // 16:] = 1.0
+    masks = jnp.asarray(m)
+
+    kw = dict(cfg=cfg, sched=sched, unet_params=unet_params,
+              key=jax.random.PRNGKey(5), height=H, width=W,
+              base_inputs=base, controller=ctl,
+              concept_inputs=[concept, concept], concept_loras=list(loras),
+              masks=masks)
+
+    def one_generation():
+        lat1 = multiconcept.sample_stage(stage=1, **kw)
+        lat2 = multiconcept.sample_stage(stage=2, **kw)
+        img = sdxl.decode_latents(cfg, vae_params, lat2)
+        img.block_until_ready()
+        return img
+
+    # Warm-up / compile.
+    t0 = time.time()
+    one_generation()
+    compile_s = time.time() - t0
+
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        one_generation()
+        times.append(time.time() - t0)
+    p50 = float(np.median(times))
+
+    target_s = 5.0  # driver north-star: 2-concept 1024^2 50-step < 5 s
+    result = {
+        "metric": "omg_2concept_1024_50step_e2e_latency",
+        "value": round(p50, 3),
+        "unit": "s",
+        "vs_baseline": round(target_s / p50, 3),
+        "extra": {
+            "compile_s": round(compile_s, 1),
+            "times": [round(t, 3) for t in times],
+            "size": size, "steps": steps,
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

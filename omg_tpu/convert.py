@@ -1,0 +1,186 @@
+"""Checkpoint conversion: torch/diffusers/transformers state dicts -> pytrees.
+
+The reference loads HF fp16 checkpoints with diffusers/transformers
+``from_pretrained`` (reference: inference_lora.py:153-155,163-171). Our
+param trees were deliberately named after those state-dict layouts
+(models/unet.py, models/vae.py, models/clip.py), so conversion is a
+mechanical walk: split each dotted key, canonicalize the few
+name differences, transpose torch layouts to TPU-native ones:
+
+  * Linear   ``[out, in]``      -> ``[in, out]``
+  * Conv2d   ``OIHW``           -> ``HWIO`` (NHWC data layout)
+  * Embedding / norms           -> unchanged
+
+No torch import is required for safetensors checkpoints; ``.bin``
+(pickle) checkpoints fall back to ``torch.load`` on CPU.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, Iterable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+# Path substrings that mark a 2-D weight as a lookup table, not a Linear.
+_EMBEDDING_TABLES = ("token_embedding", "position_embedding")
+
+
+def load_state_dict(path: str) -> dict:
+    """Load a checkpoint file -> {key: np.ndarray}. Supports .safetensors
+    and torch .bin/.pt pickles."""
+    if path.endswith(".safetensors"):
+        from safetensors import numpy as stnp
+        return dict(stnp.load_file(path))
+    import torch
+    sd = torch.load(path, map_location="cpu", weights_only=True)
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
+            for k, v in sd.items()}
+
+
+def _canon_path(parts: list) -> list:
+    """Canonicalize diffusers/transformers module paths to our tree keys."""
+    out: list = []
+    i = 0
+    while i < len(parts):
+        t = parts[i]
+        # ff.net.0.proj -> ff.net_0_proj ; ff.net.2 -> ff.net_2
+        if t == "ff" and i + 1 < len(parts) and parts[i + 1] == "net":
+            idx = parts[i + 2]
+            if idx == "0":
+                out += ["ff", "net_0_proj"]
+                i += 4 if parts[i + 3:i + 4] == ["proj"] else 3
+            else:
+                out += ["ff", f"net_{idx}"]
+                i += 3
+            continue
+        # to_out.0 -> to_out (diffusers wraps out proj + dropout in a list)
+        if t == "to_out" and i + 1 < len(parts) and parts[i + 1] == "0":
+            out.append("to_out")
+            i += 2
+            continue
+        out.append(int(t) if t.isdigit() else t)
+        i += 1
+    return out
+
+
+def _transform(path: list, arr: np.ndarray) -> np.ndarray:
+    if arr.ndim == 4:                      # conv OIHW -> HWIO
+        return arr.transpose(2, 3, 1, 0)
+    if arr.ndim == 2 and path[-1] == "weight":
+        if any(t in _EMBEDDING_TABLES for t in path if isinstance(t, str)):
+            return arr                     # lookup table
+        return arr.T                       # linear [out,in] -> [in,out]
+    return arr
+
+
+def _insert(tree: dict, path: list, value) -> None:
+    node = tree
+    for tok in path[:-1]:
+        node = node.setdefault(tok, {})
+    node[path[-1]] = value
+
+
+def _listify(node):
+    """Convert {0: a, 1: b, ...} int-keyed dicts to lists, recursively."""
+    if isinstance(node, dict):
+        if node and all(isinstance(k, int) for k in node):
+            return [_listify(node[i]) for i in range(len(node))]
+        return {k: _listify(v) for k, v in node.items()}
+    return node
+
+
+def state_dict_to_tree(sd: dict, *, dtype: Any = jnp.bfloat16,
+                       strip_prefix: Optional[str] = None,
+                       skip: Iterable[str] = ()) -> dict:
+    """Generic conversion of a flat state dict to our nested param tree."""
+    tree: dict = {}
+    skip_res = [re.compile(s) for s in skip]
+    for key, val in sd.items():
+        if strip_prefix:
+            if not key.startswith(strip_prefix):
+                continue
+            key = key[len(strip_prefix):]
+        if any(r.search(key) for r in skip_res):
+            continue
+        path = _canon_path(key.split("."))
+        arr = np.asarray(val)
+        if arr.dtype == np.float16 or arr.dtype == np.float64:
+            arr = arr.astype(np.float32)
+        arr = _transform(path, arr)
+        _insert(tree, path, jnp.asarray(arr, dtype))
+    return _listify(tree)
+
+
+# --------------------------------------------------------------------------
+# Per-model entry points
+# --------------------------------------------------------------------------
+
+_UNET_SKIP = (
+    # diffusers bookkeeping buffers not used by the functional model
+    r"position_net", r"\.alpha", r"num_batches_tracked",
+)
+
+
+def convert_unet(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
+    """diffusers UNet2DConditionModel state dict -> models/unet.py tree."""
+    sd = load_state_dict(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    return state_dict_to_tree(sd, dtype=dtype, skip=_UNET_SKIP)
+
+
+def convert_vae(sd_or_path, *, dtype: Any = jnp.float32) -> dict:
+    """diffusers AutoencoderKL state dict -> models/vae.py tree.
+
+    fp32 by default: the reference upcasts the VAE before decode
+    (reference: src/pipelines/lora_pipeline.py:641-646).
+    """
+    sd = load_state_dict(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    return state_dict_to_tree(sd, dtype=dtype)
+
+
+def convert_clip(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
+    """transformers CLIPTextModel(WithProjection) -> models/clip.py tree."""
+    sd = load_state_dict(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    return state_dict_to_tree(
+        sd, dtype=dtype,
+        skip=(r"position_ids", r"logit_scale", r"embeddings\.class_embedding"))
+
+
+def convert_controlnet(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
+    """diffusers ControlNetModel state dict -> models/controlnet.py tree."""
+    sd = load_state_dict(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    return state_dict_to_tree(sd, dtype=dtype, skip=_UNET_SKIP)
+
+
+def convert_ip_adapter(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
+    """InstantID / IP-Adapter ``.bin`` -> {"image_proj": resampler tree,
+    "ip_adapter": [ {to_k_ip, to_v_ip} ] in attn2 traversal order}.
+
+    The torch checkpoint splits into 'image_proj' (Resampler) and
+    'ip_adapter' ({layer_idx}.to_k_ip.weight ...) halves (reference:
+    src/pipelines/instantid_single_pieline.py:179-213).
+    """
+    sd = load_state_dict(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    image_proj_sd = {k.split("image_proj.", 1)[1]: v for k, v in sd.items()
+                     if k.startswith("image_proj.")}
+    ip_sd = {k.split("ip_adapter.", 1)[1]: v for k, v in sd.items()
+             if k.startswith("ip_adapter.")}
+    image_proj = state_dict_to_tree(image_proj_sd, dtype=dtype)
+
+    by_layer: dict = {}
+    for key, val in ip_sd.items():
+        parts = key.split(".")
+        idx = int(parts[0])
+        name = parts[1]
+        arr = np.asarray(val)
+        if arr.dtype in (np.float16, np.float64):
+            arr = arr.astype(np.float32)
+        by_layer.setdefault(idx, {})[name] = {
+            "weight": jnp.asarray(arr.T, dtype)}
+    # torch enumerates attn processors in module order with keys 1,3,5...
+    # (every other processor is cross-attn); renumber densely.
+    layers = [by_layer[i] for i in sorted(by_layer)]
+    return {"image_proj": image_proj, "ip_adapter": layers}

@@ -92,6 +92,82 @@ def make_concept_inputs(embeds_pos: Array, pooled_pos: Array,
     )
 
 
+def multiconcept_step(
+        cfg: sdxl.SDXLConfig,
+        sched: schedulers.Schedule,
+        unet_params: dict,
+        x: Array,                           # [2, h, w, 4] (copy A, copy B)
+        st: schedulers.SchedulerState,
+        i: Array,                           # traced step index
+        base_inputs: BaseInputs,
+        controller: Optional[p2p.P2PControl],
+        concept_inputs: tuple,              # tuple[ConceptInputs], static len K
+        concept_loras: tuple,               # tuple[dict|None], static len K
+        masks: Array,                       # [K, h, w] latent-res binary
+        stage2: Array,                      # scalar bool
+        *,
+        concept_ip_adapters: tuple = (),
+        fusion_start: int = regions.FUSION_START_STEP,
+        ip_scale_static: float = 1.0,
+        down_block_residuals_fn=None,
+) -> tuple:
+    """One OMG denoise step (the flagship compiled program).
+
+    CFG-expands the two latent copies to the 4-row base forward, applies
+    the P2P controller, conditionally runs the K concept UNets and fuses
+    their masked predictions (reference step body:
+    src/pipelines/lora_pipeline.py:485-615), then CFG-combines and takes
+    one scheduler step. Pure: (x, scheduler_state) -> (x', state').
+    """
+    K = len(concept_inputs)
+    t = sched.timesteps[i]
+    lin = jnp.concatenate([x, x])            # [4, ...] CFG expand
+    lin = schedulers.scale_model_input(sched, lin, i)
+
+    ctrl = controller.at_step(i) if controller is not None else None
+
+    down_res = mid_res = None
+    if down_block_residuals_fn is not None:
+        down_res, mid_res = down_block_residuals_fn(lin, t, i)
+
+    eps = unet.apply(
+        unet_params, cfg.unet, lin, t, base_inputs.prompt_embeds,
+        text_embeds=base_inputs.text_embeds,
+        time_ids=base_inputs.time_ids,
+        control=ctrl,
+        down_block_residuals=down_res,
+        mid_block_residual=mid_res)
+
+    if K > 0:
+        active = jnp.logical_and(stage2, i > fusion_start)
+
+        def run_concepts(lin_):
+            region_latent = lin_[3:4]
+            rl2 = jnp.concatenate([region_latent, region_latent])
+            preds = []
+            for k in range(K):
+                ci = concept_inputs[k]
+                ipk = (concept_ip_adapters[k]
+                       if k < len(concept_ip_adapters) else None)
+                ek = unet.apply(
+                    unet_params, cfg.unet, rl2, t, ci.prompt_embeds,
+                    text_embeds=ci.text_embeds, time_ids=ci.time_ids,
+                    lora=concept_loras[k],
+                    ip_adapter=ipk, ip_context=ci.ip_context,
+                    ip_scale=ip_scale_static)
+                preds.append(ek)
+            return jnp.stack(preds)          # [K, 2, h, w, 4]
+
+        zeros = jnp.zeros((K, 2) + lin.shape[1:], eps.dtype)
+        region_preds = jax.lax.cond(
+            active, run_concepts, lambda _: zeros, lin)
+        eps = regions.fuse_region_noise(
+            eps, region_preds, masks.astype(eps.dtype), active=active)
+
+    guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
+    return schedulers.step(sched, st, guided, i, x)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "fusion_start", "ip_scale_static"),
@@ -111,61 +187,17 @@ def denoise_multiconcept(
         concept_ip_adapters: tuple = (),    # tuple[list[dict]] per concept
         fusion_start: int = regions.FUSION_START_STEP,
         ip_scale_static: float = 1.0,
-        down_block_residuals_fn=None,
 ) -> Array:
     """The two-stage OMG denoise. One compilation serves both stages."""
-    K = len(concept_inputs)
     state0 = schedulers.init_state(sched, (4,) + latents.shape[1:])
 
     def body(i, carry):
-        x, st = carry                        # x: [2, h, w, 4]
-        t = sched.timesteps[i]
-        lin = jnp.concatenate([x, x])        # [4, ...] CFG expand
-        lin = schedulers.scale_model_input(sched, lin, i)
-
-        ctrl = controller.at_step(i) if controller is not None else None
-
-        down_res = mid_res = None
-        if down_block_residuals_fn is not None:
-            down_res, mid_res = down_block_residuals_fn(lin, t, i)
-
-        eps = unet.apply(
-            unet_params, cfg.unet, lin, t, base_inputs.prompt_embeds,
-            text_embeds=base_inputs.text_embeds,
-            time_ids=base_inputs.time_ids,
-            control=ctrl,
-            down_block_residuals=down_res,
-            mid_block_residual=mid_res)
-
-        if K > 0:
-            active = jnp.logical_and(stage2, i > fusion_start)
-
-            def run_concepts(lin_):
-                region_latent = lin_[3:4]
-                rl2 = jnp.concatenate([region_latent, region_latent])
-                preds = []
-                for k in range(K):
-                    ci = concept_inputs[k]
-                    ipk = (concept_ip_adapters[k]
-                           if k < len(concept_ip_adapters) else None)
-                    ek = unet.apply(
-                        unet_params, cfg.unet, rl2, t, ci.prompt_embeds,
-                        text_embeds=ci.text_embeds, time_ids=ci.time_ids,
-                        lora=concept_loras[k],
-                        ip_adapter=ipk, ip_context=ci.ip_context,
-                        ip_scale=ip_scale_static)
-                    preds.append(ek)
-                return jnp.stack(preds)      # [K, 2, h, w, 4]
-
-            zeros = jnp.zeros((K, 2) + lin.shape[1:], eps.dtype)
-            region_preds = jax.lax.cond(
-                active, run_concepts, lambda _: zeros, lin)
-            eps = regions.fuse_region_noise(
-                eps, region_preds, masks.astype(eps.dtype), active=active)
-
-        guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
-        x_next, st = schedulers.step(sched, st, guided, i, x)
-        return (x_next, st)
+        x, st = carry
+        return multiconcept_step(
+            cfg, sched, unet_params, x, st, i, base_inputs, controller,
+            concept_inputs, concept_loras, masks, stage2,
+            concept_ip_adapters=concept_ip_adapters,
+            fusion_start=fusion_start, ip_scale_static=ip_scale_static)
 
     x, _ = jax.lax.fori_loop(0, sched.num_steps, body, (latents, state0))
     return x

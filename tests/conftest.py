@@ -2,12 +2,14 @@
 
 The reference had no tests (SURVEY.md §4); our strategy is CPU-runnable
 tiny-config unit tests plus multi-"chip" sharding tests over a virtual
-device mesh — env vars must be set before jax initializes a backend.
+device mesh. XLA_FLAGS must be set before jax initializes a backend;
+the platform choice must ALSO be forced via jax.config because this
+image's sitecustomize registers a TPU PJRT plugin that overrides the
+JAX_PLATFORMS env var in-process.
 """
 
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -16,4 +18,5 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_matmul_precision", "highest")

@@ -1,0 +1,159 @@
+"""Checkpoint conversion: torch layouts -> TPU-native pytrees.
+
+The CLIP test is a true numeric parity test against the transformers
+implementation (the same one the reference runs through diffusers
+encode_prompt). UNet/VAE conversion is validated by round-trip (emit a
+diffusers-style flat state dict from our tree, convert, compare) since
+diffusers itself is not installed in this image.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omg_tpu import config as cfglib
+from omg_tpu import convert
+from omg_tpu.models import clip as clip_lib
+from omg_tpu.models import unet as unet_lib
+from omg_tpu.models import vae as vae_lib
+
+
+# --------------------------------------------------------------------------
+# CLIP: numeric parity vs transformers
+# --------------------------------------------------------------------------
+
+def _hf_tiny_clip(projection: bool):
+    import torch
+    from transformers import CLIPTextConfig as HFConfig
+    from transformers import CLIPTextModel, CLIPTextModelWithProjection
+    hf_cfg = HFConfig(
+        vocab_size=1000, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4,
+        max_position_embeddings=77, hidden_act="quick_gelu",
+        projection_dim=16,
+        # real CLIP pools at the first EOS token, which is also the pad
+        # token and the max vocab id; keep those invariants in the tiny
+        # vocab so our argmax pooling and HF's eos-match pooling agree.
+        bos_token_id=1, eos_token_id=999,
+    )
+    torch.manual_seed(0)
+    cls = CLIPTextModelWithProjection if projection else CLIPTextModel
+    return cls(hf_cfg).eval()
+
+
+@pytest.mark.parametrize("projection", [False, True])
+def test_clip_matches_transformers(projection):
+    import torch
+    model = _hf_tiny_clip(projection)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    tree = convert.convert_clip(sd, dtype=jnp.float32)
+
+    cfg = cfglib.tiny_text_encoder(projection_dim=16 if projection else 0)
+    ids = np.array([[49406 % 1000, 10, 20, 30, 999] + [999] * 72], np.int64)
+
+    with torch.no_grad():
+        hf_out = model(torch.from_numpy(ids), output_hidden_states=True)
+    ours = clip_lib.apply(tree, cfg, jnp.asarray(ids, jnp.int32))
+
+    np.testing.assert_allclose(
+        np.asarray(ours.last_hidden_state),
+        hf_out.last_hidden_state.numpy(), atol=2e-5)
+    np.testing.assert_allclose(
+        np.asarray(ours.penultimate),
+        hf_out.hidden_states[-2].numpy(), atol=2e-5)
+    if projection:
+        np.testing.assert_allclose(
+            np.asarray(ours.projected),
+            hf_out.text_embeds.numpy(), atol=2e-5)
+
+
+# --------------------------------------------------------------------------
+# UNet / VAE: structural round-trip through diffusers-style keys
+# --------------------------------------------------------------------------
+
+def _emit_torch_sd(tree, prefix=""):
+    """Inverse of convert: our tree -> diffusers-style flat state dict."""
+    sd = {}
+
+    def walk(node, path):
+        if isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, path + [k])
+        elif isinstance(node, (list, tuple)):
+            for i, v in enumerate(node):
+                walk(v, path + [str(i)])
+        else:
+            arr = np.asarray(node)
+            # invert name canonicalization
+            parts = []
+            for tok in path:
+                if tok == "net_0_proj":
+                    parts += ["net", "0", "proj"]
+                elif tok == "net_2":
+                    parts += ["net", "2"]
+                elif tok == "to_out":
+                    parts += ["to_out", "0"]
+                else:
+                    parts.append(tok)
+            # invert layout transform
+            if arr.ndim == 4:
+                arr = arr.transpose(3, 2, 0, 1)      # HWIO -> OIHW
+            elif arr.ndim == 2 and parts[-1] == "weight" and not any(
+                    t in convert._EMBEDDING_TABLES for t in parts):
+                arr = arr.T
+            sd[prefix + ".".join(parts)] = arr
+
+    walk(tree, [])
+    return sd
+
+
+def _assert_tree_equal(a, b, path=""):
+    assert type(a) is type(b) or (
+        isinstance(a, (list, tuple)) and isinstance(b, (list, tuple))), path
+    if isinstance(a, dict):
+        assert set(a) == set(b), (path, set(a) ^ set(b))
+        for k in a:
+            _assert_tree_equal(a[k], b[k], f"{path}.{k}")
+    elif isinstance(a, (list, tuple)):
+        assert len(a) == len(b), path
+        for i, (x, y) in enumerate(zip(a, b)):
+            _assert_tree_equal(x, y, f"{path}[{i}]")
+    else:
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   err_msg=path, atol=0)
+
+
+def test_unet_roundtrip():
+    cfg = cfglib.tiny_unet()
+    tree = unet_lib.init_params(jax.random.PRNGKey(0), cfg)
+    sd = _emit_torch_sd(tree)
+    back = convert.convert_unet(sd, dtype=jnp.float32)
+    _assert_tree_equal(tree, back)
+
+
+def test_vae_roundtrip():
+    cfg = cfglib.tiny_vae()
+    tree = vae_lib.init_params(jax.random.PRNGKey(0), cfg)
+    sd = _emit_torch_sd(tree)
+    back = convert.convert_vae(sd, dtype=jnp.float32)
+    _assert_tree_equal(tree, back)
+
+
+def test_ip_adapter_bin_layout():
+    """InstantID .bin split: image_proj + per-layer to_k_ip/to_v_ip."""
+    rng = np.random.default_rng(0)
+    sd = {}
+    sd["image_proj.latents"] = rng.standard_normal((1, 4, 32)).astype(np.float32)
+    sd["image_proj.proj_in.weight"] = rng.standard_normal((32, 16)).astype(np.float32)
+    sd["image_proj.proj_in.bias"] = np.zeros((32,), np.float32)
+    for i, idx in enumerate([1, 3, 5]):
+        sd[f"ip_adapter.{idx}.to_k_ip.weight"] = rng.standard_normal(
+            (24, 48)).astype(np.float32)
+        sd[f"ip_adapter.{idx}.to_v_ip.weight"] = rng.standard_normal(
+            (24, 48)).astype(np.float32)
+    out = convert.convert_ip_adapter(sd, dtype=jnp.float32)
+    assert len(out["ip_adapter"]) == 3
+    assert out["ip_adapter"][0]["to_k_ip"]["weight"].shape == (48, 24)
+    assert out["image_proj"]["proj_in"]["weight"].shape == (16, 32)
+    assert out["image_proj"]["latents"].shape == (1, 4, 32)
