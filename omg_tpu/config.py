@@ -208,9 +208,11 @@ def tiny_text_encoder_2() -> CLIPTextConfig:
 
 
 def tiny_controlnet() -> ControlNetConfig:
+    # Four stages -> three stride-2 convs, so the pixel-space condition
+    # image reduces 8x to latent resolution exactly like the SDXL preset.
     return ControlNetConfig(
         unet=tiny_unet(),
-        conditioning_embedding_out_channels=(8, 16),
+        conditioning_embedding_out_channels=(8, 8, 16, 16),
     )
 
 

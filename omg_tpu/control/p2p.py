@@ -228,7 +228,12 @@ class P2PStepControl:
         return num_queries <= self.ctl.self_seq_limit and self.ctl.self_end > 0
 
     def __call__(self, probs: Array, *, is_cross: bool) -> Array:
-        """probs: [4, H, Nq, Nk] = [uncond_A, uncond_B, cond_A, cond_B]."""
+        """probs: [4, H, Nq, Nk] = [uncond_A, uncond_B, cond_A, cond_B].
+
+        Reference-faithful probability edit. This materialized-probs path
+        exists for parity testing; the hot path uses the O(N²)-free lane
+        formulation below (``self_lane_qk`` / ``cross_lane_out``).
+        """
         ctl = self.ctl
         base = probs[2]
         repl = probs[3]
@@ -245,3 +250,43 @@ class P2PStepControl:
                                         self.step < ctl.self_end)
             new_repl = jnp.where(in_window, base, repl)
         return probs.at[3].set(new_repl)
+
+    # -- O(N²)-free lane formulation ------------------------------------
+    #
+    # Attention output is linear in the probabilities, so the reference's
+    # prob edits (p2p_attention.py:124-138) can be pushed to the attention
+    # *inputs/outputs* and never materialize an [Nq, Nk] matrix:
+    #
+    #   self-attn replace:  probs_A @ V_B  ==  sdpa(q_A, k_A, v_B)
+    #     -> substitute lanes q[3]<-q[2], k[3]<-k[2] inside the window.
+    #   cross-attn blend:   (α ⊙ (probs_A @ M) + (1-α) ⊙ probs_B) @ V
+    #     ==  sdpa(q_A, k_A, M @ (α ⊙ V))  +  sdpa(q_B, k_B, (1-α) ⊙ V)
+    #     (per-word α multiplies the probability COLUMN for key n, which
+    #     commutes into the value row).
+
+    def self_lane_qk(self, q: Array, k: Array) -> tuple:
+        """Lane substitution for self-attn replace. q, k: [4, H, N, D]."""
+        ctl = self.ctl
+        win = jnp.logical_and(ctl.self_start <= self.step,
+                              self.step < ctl.self_end)
+        q = q.at[3].set(jnp.where(win, q[2], q[3]))
+        k = k.at[3].set(jnp.where(win, k[2], k[3]))
+        return q, k
+
+    def cross_lane_out(self, out: Array, q: Array, k: Array, v: Array,
+                       sdpa_fn) -> Array:
+        """Rewrite lane 3 of a cross-attn output without probs.
+
+        out/q/k/v: [4, H, N(q/k), D]; sdpa_fn(q, k, v) -> attention out.
+        """
+        ctl = self.ctl
+        nk = k.shape[2]
+        alpha = jax.lax.dynamic_index_in_dim(
+            ctl.cross_alpha, self.step, keepdims=False)[:nk]
+        alpha = alpha.astype(v.dtype)[None, :, None]          # [1, Nk, 1]
+        mapper = ctl.mapper[:nk, :nk].astype(v.dtype)
+        va = jnp.einsum("wn,hnd->hwd", mapper, v[3] * alpha)
+        vb = v[3] * (1.0 - alpha)
+        t1 = sdpa_fn(q[2:3], k[2:3], va[None])
+        t2 = sdpa_fn(q[3:4], k[3:4], vb[None])
+        return out.at[3].set((t1 + t2)[0])

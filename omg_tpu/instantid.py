@@ -1,0 +1,109 @@
+"""InstantID support: face-keypoint condition rendering + identity tokens.
+
+The reference crosses into insightface ONNX models for detection and the
+512-d ArcFace embedding (reference: inference_instantid.py:226-228) —
+those run once per reference image, off the hot path, and stay host-side
+behind the ``FaceEmbedder`` protocol here. Everything downstream (the
+Resampler projection to 16 image-prompt tokens, the IdentityNet
+condition image, the decoupled IP attention) is TPU-resident.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Protocol, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omg_tpu.config import ResamplerConfig
+from omg_tpu.models import resampler as resampler_lib
+
+Array = jax.Array
+
+# 5-keypoint face skeleton: eyes, nose, mouth corners; limbs all connect
+# to the nose (index 2) (reference: instantid_single_pieline.py:107-134,
+# multi-face variant inference_instantid.py:127-156).
+KPS_COLORS = ((255, 0, 0), (0, 255, 0), (0, 0, 255),
+              (255, 255, 0), (255, 0, 255))
+_LIMBS = ((0, 2), (1, 2), (3, 2), (4, 2))
+_STICKWIDTH = 4
+_POINT_RADIUS = 10
+
+
+def _fill_rotated_ellipse(img: np.ndarray, cx: float, cy: float,
+                          a: float, b: float, angle_rad: float,
+                          color: Sequence[int]) -> None:
+    h, w = img.shape[:2]
+    y0 = max(0, int(cy - a - b - 2))
+    y1 = min(h, int(cy + a + b + 3))
+    x0 = max(0, int(cx - a - b - 2))
+    x1 = min(w, int(cx + a + b + 3))
+    if y0 >= y1 or x0 >= x1:
+        return
+    yy, xx = np.mgrid[y0:y1, x0:x1]
+    dx = xx - cx
+    dy = yy - cy
+    c, s = math.cos(angle_rad), math.sin(angle_rad)
+    u = dx * c + dy * s
+    v = -dx * s + dy * c
+    inside = (u / max(a, 1e-6)) ** 2 + (v / max(b, 1e-6)) ** 2 <= 1.0
+    img[y0:y1, x0:x1][inside] = color
+
+
+def draw_kps(height: int, width: int,
+             kps_list: Sequence[np.ndarray]) -> np.ndarray:
+    """Render face keypoints into an IdentityNet condition image.
+
+    ``kps_list``: one [5, 2] (x, y) array per face (the multi-face
+    variant the OMG InstantID path needs, reference:
+    inference_instantid.py:127-156). Returns uint8 [H, W, 3].
+    """
+    out = np.zeros((height, width, 3), np.float32)
+    for kps in kps_list:
+        kps = np.asarray(kps, np.float32)
+        for i, (p, q) in enumerate(_LIMBS):
+            color = np.asarray(KPS_COLORS[p], np.float32) * 0.6
+            x0, y0 = kps[p]
+            x1, y1 = kps[q]
+            length = math.hypot(x1 - x0, y1 - y0)
+            angle = math.atan2(y0 - y1, x0 - x1)
+            _fill_rotated_ellipse(out, (x0 + x1) / 2, (y0 + y1) / 2,
+                                  length / 2, _STICKWIDTH, angle, color)
+    for kps in kps_list:
+        kps = np.asarray(kps, np.float32)
+        for idx, (x, y) in enumerate(kps):
+            _fill_rotated_ellipse(out, x, y, _POINT_RADIUS, _POINT_RADIUS,
+                                  0.0, KPS_COLORS[idx])
+    return out.astype(np.uint8)
+
+
+def kps_image_to_cond(img: np.ndarray) -> Array:
+    """uint8 [H, W, 3] -> [1, H, W, 3] float in [0, 1] (diffusers
+    ControlNet conditioning normalization)."""
+    return jnp.asarray(img, jnp.float32)[None] / 255.0
+
+
+class FaceEmbedder(Protocol):
+    """Host-side identity embedding provider (insightface 'antelopev2' in
+    the reference; any callable producing (kps [5,2], arcface [512]) per
+    detected face works — e.g. precomputed .npy fixtures)."""
+
+    def __call__(self, image: np.ndarray) -> Sequence[tuple]:
+        ...
+
+
+def encode_face_tokens(params: dict, cfg: ResamplerConfig,
+                       embedding: Array) -> Array:
+    """ArcFace embedding [E] (or [N, E]) -> CFG-stacked image-prompt
+    tokens [2, num_queries, output_dim].
+
+    Row 0 is the unconditional branch: the Resampler applied to a zeros
+    embedding (reference: instantid_single_pieline.py:233-238), NOT zero
+    tokens.
+    """
+    emb = jnp.asarray(embedding)
+    emb = emb.reshape(1, -1, cfg.embedding_dim)
+    stacked = jnp.concatenate([jnp.zeros_like(emb), emb], axis=0)
+    return resampler_lib.apply(params, cfg, stacked)

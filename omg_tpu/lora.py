@@ -230,6 +230,63 @@ def scale_lora(tree: Optional[dict], s: float) -> Optional[dict]:
     return {k: scale_lora(v, s) for k, v in tree.items()}
 
 
+def stack_loras(trees: Sequence[Optional[dict]], *,
+                repeat: int = 1) -> Optional[dict]:
+    """Stack adapters into per-lane batched deltas for one fused forward.
+
+    Produces leaves ``{"down": [L*repeat, in, r], "up": [L*repeat, r, out],
+    "scale": [L*repeat]}`` where L = len(trees); lane ``i*repeat + j`` runs
+    tree i (``repeat=2`` gives each concept its CFG [uncond, cond] lane
+    pair). Ranks are zero-padded to the max across trees, and paths
+    missing from a tree contribute zero deltas — so concepts with
+    different adapters (char-only vs char+style) batch into one UNet call.
+    """
+    if all(t is None for t in trees):
+        return None
+    L = len(trees)
+
+    def rec(nodes):
+        # nodes: list of Optional[subtree], length L
+        leaves = [n for n in nodes if n is not None and _is_leaf(n)]
+        if leaves:
+            din = leaves[0]["down"].shape[0]
+            dout = leaves[0]["up"].shape[1]
+            rmax = max(n["down"].shape[1] for n in leaves)
+            downs, ups, scales = [], [], []
+            for n in nodes:
+                if n is None or not _is_leaf(n):
+                    d = jnp.zeros((din, rmax), leaves[0]["down"].dtype)
+                    u = jnp.zeros((rmax, dout), leaves[0]["up"].dtype)
+                    s = jnp.zeros((), jnp.float32)
+                else:
+                    r = n["down"].shape[1]
+                    d = jnp.pad(n["down"], ((0, 0), (0, rmax - r)))
+                    u = jnp.pad(n["up"], ((0, rmax - r), (0, 0)))
+                    s = n["scale"].astype(jnp.float32)
+                downs += [d] * repeat
+                ups += [u] * repeat
+                scales += [s] * repeat
+            return {"down": jnp.stack(downs), "up": jnp.stack(ups),
+                    "scale": jnp.stack(scales)}
+        def norm(n):
+            if isinstance(n, (list, tuple)):
+                return {i: v for i, v in enumerate(n)}
+            return n
+
+        nodes = [norm(n) for n in nodes]
+        keys = set()
+        for n in nodes:
+            if isinstance(n, dict):
+                keys.update(n.keys())
+        out = {}
+        for k in keys:
+            out[k] = rec([n.get(k) if isinstance(n, dict) else None
+                          for n in nodes])
+        return out
+
+    return rec(list(trees))
+
+
 def merge_loras(trees: Sequence[Optional[dict]],
                 weights: Sequence[float]) -> Optional[dict]:
     """Combine adapters by rank concatenation with weights folded into up.

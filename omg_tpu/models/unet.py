@@ -37,13 +37,19 @@ Params = dict
 
 
 class AttnControl(Protocol):
-    """Attention-probability controller (P2P). Static gating + traced math."""
+    """Prompt-to-prompt controller in the O(N²)-free lane form
+    (control/p2p.py P2PStepControl): static layer gating via ``wants``,
+    self-attn lane substitution, cross-attn output rewrite."""
 
     def wants(self, *, is_cross: bool, num_queries: int) -> bool:
-        """Static (trace-time) decision: materialize probs for this layer?"""
+        """Static (trace-time) decision: engage control on this layer?"""
         ...
 
-    def __call__(self, probs: Array, *, is_cross: bool) -> Array:
+    def self_lane_qk(self, q: Array, k: Array) -> tuple:
+        ...
+
+    def cross_lane_out(self, out: Array, q: Array, k: Array, v: Array,
+                       sdpa_fn) -> Array:
         ...
 
 
@@ -228,17 +234,11 @@ class _AttnCtx:
 def _transformer_block(p: Params, x: Array, ctx: _AttnCtx, head_dim: int,
                        lora: Optional[dict]) -> Array:
     heads = x.shape[-1] // head_dim
-    nq = x.shape[1]
     ctrl = ctx.control
-
-    def transform_for(is_cross):
-        if ctrl is None or not ctrl.wants(is_cross=is_cross, num_queries=nq):
-            return None
-        return lambda probs, *, is_cross=is_cross: ctrl(probs, is_cross=is_cross)
 
     h = layers.layer_norm(p["norm1"], x)
     x = x + mha(p["attn1"], h, num_heads=heads, lora=_sub(lora, "attn1"),
-                probs_transform=transform_for(False))
+                p2p=ctrl)
 
     h = layers.layer_norm(p["norm2"], x)
     ip = None
@@ -248,7 +248,7 @@ def _transformer_block(p: Params, x: Array, ctx: _AttnCtx, head_dim: int,
     x = x + mha(p["attn2"], h, num_heads=heads, context=ctx.context,
                 lora=_sub(lora, "attn2"),
                 ip=ip, ip_context=ctx.ip_context, ip_scale=ctx.ip_scale,
-                probs_transform=transform_for(True))
+                p2p=ctrl)
 
     h = layers.layer_norm(p["norm3"], x)
     ff = p["ff"]

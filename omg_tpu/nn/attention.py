@@ -106,12 +106,19 @@ def mha(p: Params, x: Array, *, num_heads: int,
         ip_context: Optional[Array] = None,
         ip_scale: float | Array = 1.0,
         ip_lora: Optional[Params] = None,
-        probs_transform: Optional[ProbsTransform] = None) -> Array:
+        probs_transform: Optional[ProbsTransform] = None,
+        p2p=None) -> Array:
     """Multi-head attention over [B, N, C] tokens.
 
     context=None => self-attention. With ``ip``/``ip_context`` set, runs the
     IP-Adapter decoupled cross-attention: a second attention over the image
     tokens added with ``ip_scale`` (reference: attention_processor.py:383-409).
+
+    ``p2p`` is a P2PStepControl: prompt-to-prompt edits applied in the
+    O(N²)-free lane formulation (no materialized probabilities — the
+    reference's hooks at lora_pipeline.py:98-116 materialize full prob
+    matrices on every controlled layer; see control/p2p.py for why the
+    lane form is mathematically identical).
     """
     is_cross = context is not None
     ctx = context if is_cross else x
@@ -127,11 +134,20 @@ def mha(p: Params, x: Array, *, num_heads: int,
     kh = _split_heads(k, num_heads)
     vh = _split_heads(v, num_heads)
 
+    p2p_active = p2p is not None and p2p.wants(is_cross=is_cross,
+                                              num_queries=x.shape[1])
+    if p2p_active and not is_cross:
+        qh, kh = p2p.self_lane_qk(qh, kh)
+
     if probs_transform is not None:
         out = sdpa_with_probs(qh, kh, vh, probs_transform=probs_transform,
                               is_cross=is_cross, mask=mask)
     else:
         out = sdpa(qh, kh, vh, mask=mask)
+
+    if p2p_active and is_cross:
+        out = p2p.cross_lane_out(out, qh, kh, vh,
+                                 lambda q_, k_, v_: sdpa(q_, k_, v_))
 
     if ip is not None and ip_context is not None:
         def ipla(name):

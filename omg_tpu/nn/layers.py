@@ -77,9 +77,18 @@ def init_embedding(key: Array, num: int, dim: int, dtype: Any = jnp.float32) -> 
 def linear(p: Params, x: Array, lora: Optional[Params] = None) -> Array:
     y = jnp.dot(x, p["weight"])
     if lora is not None:
-        delta = jnp.dot(jnp.dot(x, lora["down"].astype(x.dtype)),
-                        lora["up"].astype(x.dtype))
-        y = y + delta * lora["scale"].astype(y.dtype)
+        down = lora["down"].astype(x.dtype)
+        up = lora["up"].astype(x.dtype)
+        scale = lora["scale"].astype(y.dtype)
+        if down.ndim == 3:
+            # Per-lane LoRA: down [B, in, r], up [B, r, out], scale [B].
+            # Lets one batched UNet forward serve several concepts, each
+            # with its own adapter (multiconcept concept-lane batching).
+            delta = jnp.matmul(jnp.matmul(x, down), up)
+            scale = scale.reshape((-1,) + (1,) * (x.ndim - 1))
+        else:
+            delta = jnp.dot(jnp.dot(x, down), up)
+        y = y + delta * scale
     if "bias" in p:
         y = y + p["bias"]
     return y

@@ -35,10 +35,55 @@ import jax.numpy as jnp
 
 from omg_tpu.control import p2p, regions
 from omg_tpu.diffusion import sampling, schedulers
+from omg_tpu.models import controlnet as controlnet_lib
 from omg_tpu.models import unet
 from omg_tpu.pipelines import sdxl
 
 Array = jax.Array
+
+
+class ControlNetInputs(NamedTuple):
+    """One ControlNet's weights + conditioning for a denoise run.
+
+    Covers both flavors the reference wires in:
+      * spatial ControlNet (openpose/canny/depth) on the base forward —
+        ``encoder_hidden_states=None`` means "use the text embeds"
+        (reference: src/pipelines/lora_pipeline.py:519-529);
+      * InstantID IdentityNet on per-concept forwards, conditioned on the
+        face-keypoint image with the 16 image-prompt tokens as
+        encoder_hidden_states (reference: src/pipelines/
+        instantid_pipeline.py:638-648).
+    """
+    params: dict
+    cond_image: Array                      # [B or 1, H, W, C]
+    scale: Array                           # scalar conditioning strength
+    encoder_hidden_states: Optional[Array] = None
+
+
+def _controlnet_residuals(cns: tuple, cn_cfg, lin: Array, t: Array,
+                          prompt_embeds: Array, text_embeds: Array,
+                          time_ids: Array):
+    """Run each ControlNet and sum the residual stacks (diffusers
+    MultiControlNet semantics)."""
+    down_acc = mid_acc = None
+    for cn in cns:
+        b = lin.shape[0]
+        cond = jnp.broadcast_to(cn.cond_image,
+                                (b,) + cn.cond_image.shape[1:])
+        ehs = (cn.encoder_hidden_states
+               if cn.encoder_hidden_states is not None else prompt_embeds)
+        if ehs.shape[0] != b:
+            ehs = jnp.broadcast_to(ehs, (b,) + ehs.shape[1:])
+        down, mid = controlnet_lib.apply(
+            cn.params, cn_cfg, lin, t, ehs, cond,
+            text_embeds=text_embeds, time_ids=time_ids,
+            conditioning_scale=cn.scale)
+        if down_acc is None:
+            down_acc, mid_acc = list(down), mid
+        else:
+            down_acc = [a + d for a, d in zip(down_acc, down)]
+            mid_acc = mid_acc + mid
+    return down_acc, mid_acc
 
 
 class ConceptInputs(NamedTuple):
@@ -109,7 +154,9 @@ def multiconcept_step(
         concept_ip_adapters: tuple = (),
         fusion_start: int = regions.FUSION_START_STEP,
         ip_scale_static: float = 1.0,
-        down_block_residuals_fn=None,
+        base_controlnets: tuple = (),        # tuple[ControlNetInputs]
+        concept_controlnets: tuple = (),     # tuple[ControlNetInputs|None]
+        cn_cfg=None,                         # static ControlNetConfig
 ) -> tuple:
     """One OMG denoise step (the flagship compiled program).
 
@@ -127,8 +174,10 @@ def multiconcept_step(
     ctrl = controller.at_step(i) if controller is not None else None
 
     down_res = mid_res = None
-    if down_block_residuals_fn is not None:
-        down_res, mid_res = down_block_residuals_fn(lin, t, i)
+    if base_controlnets:
+        down_res, mid_res = _controlnet_residuals(
+            base_controlnets, cn_cfg, lin, t, base_inputs.prompt_embeds,
+            base_inputs.text_embeds, base_inputs.time_ids)
 
     eps = unet.apply(
         unet_params, cfg.unet, lin, t, base_inputs.prompt_embeds,
@@ -142,21 +191,60 @@ def multiconcept_step(
         active = jnp.logical_and(stage2, i > fusion_start)
 
         def run_concepts(lin_):
-            region_latent = lin_[3:4]
-            rl2 = jnp.concatenate([region_latent, region_latent])
-            preds = []
-            for k in range(K):
-                ci = concept_inputs[k]
-                ipk = (concept_ip_adapters[k]
-                       if k < len(concept_ip_adapters) else None)
-                ek = unet.apply(
-                    unet_params, cfg.unet, rl2, t, ci.prompt_embeds,
-                    text_embeds=ci.text_embeds, time_ids=ci.time_ids,
-                    lora=concept_loras[k],
-                    ip_adapter=ipk, ip_context=ci.ip_context,
-                    ip_scale=ip_scale_static)
-                preds.append(ek)
-            return jnp.stack(preds)          # [K, 2, h, w, 4]
+            """One batched UNet forward over all 2K concept lanes.
+
+            The reference runs K sequential concept-UNet calls at b=2
+            per step (lora_pipeline.py:576-599). Here lane k*2+j carries
+            concept k's (uncond, cond) pair; per-concept LoRA deltas are
+            lane-stacked (lora.stack_loras), so the MXU sees one b=2K
+            forward instead of K small ones.
+            """
+            from omg_tpu import lora as lora_lib
+            rl2 = jnp.broadcast_to(lin_[3:4], (2 * K,) + lin_.shape[1:])
+            embeds = jnp.concatenate(
+                [ci.prompt_embeds for ci in concept_inputs])
+            tembeds = jnp.concatenate(
+                [ci.text_embeds for ci in concept_inputs])
+            tids = jnp.concatenate([ci.time_ids for ci in concept_inputs])
+            ip_ctx = None
+            if any(ci.ip_context is not None for ci in concept_inputs):
+                ip_ctx = jnp.concatenate(
+                    [ci.ip_context for ci in concept_inputs])
+            stacked_lora = lora_lib.stack_loras(
+                [concept_loras[k].get("unet", concept_loras[k])
+                 if concept_loras[k] is not None else None
+                 for k in range(K)], repeat=2)
+            ipk = concept_ip_adapters[0] if concept_ip_adapters else None
+
+            k_down = k_mid = None
+            if concept_controlnets:
+                live = [cn for cn in concept_controlnets if cn is not None]
+                if live:
+                    cond = jnp.concatenate([
+                        jnp.broadcast_to(cn.cond_image,
+                                         (2,) + cn.cond_image.shape[1:])
+                        for cn in live])
+                    ehs_cn = jnp.concatenate([
+                        cn.encoder_hidden_states
+                        if cn.encoder_hidden_states is not None
+                        else concept_inputs[ki].prompt_embeds
+                        for ki, cn in enumerate(concept_controlnets)
+                        if cn is not None])
+                    merged = ControlNetInputs(
+                        params=live[0].params, cond_image=cond,
+                        scale=live[0].scale, encoder_hidden_states=ehs_cn)
+                    k_down, k_mid = _controlnet_residuals(
+                        (merged,), cn_cfg, rl2, t, embeds, tembeds, tids)
+
+            out = unet.apply(
+                unet_params, cfg.unet, rl2, t, embeds,
+                text_embeds=tembeds, time_ids=tids,
+                lora=stacked_lora,
+                ip_adapter=ipk, ip_context=ip_ctx,
+                ip_scale=ip_scale_static,
+                down_block_residuals=k_down,
+                mid_block_residual=k_mid)
+            return out.reshape((K, 2) + lin_.shape[1:])
 
         zeros = jnp.zeros((K, 2) + lin.shape[1:], eps.dtype)
         region_preds = jax.lax.cond(
@@ -170,7 +258,7 @@ def multiconcept_step(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "fusion_start", "ip_scale_static"),
+    static_argnames=("cfg", "fusion_start", "ip_scale_static", "cn_cfg"),
     donate_argnums=(3,))
 def denoise_multiconcept(
         cfg: sdxl.SDXLConfig,
@@ -187,6 +275,9 @@ def denoise_multiconcept(
         concept_ip_adapters: tuple = (),    # tuple[list[dict]] per concept
         fusion_start: int = regions.FUSION_START_STEP,
         ip_scale_static: float = 1.0,
+        base_controlnets: tuple = (),
+        concept_controlnets: tuple = (),
+        cn_cfg=None,
 ) -> Array:
     """The two-stage OMG denoise. One compilation serves both stages."""
     state0 = schedulers.init_state(sched, (4,) + latents.shape[1:])
@@ -197,7 +288,9 @@ def denoise_multiconcept(
             cfg, sched, unet_params, x, st, i, base_inputs, controller,
             concept_inputs, concept_loras, masks, stage2,
             concept_ip_adapters=concept_ip_adapters,
-            fusion_start=fusion_start, ip_scale_static=ip_scale_static)
+            fusion_start=fusion_start, ip_scale_static=ip_scale_static,
+            base_controlnets=base_controlnets,
+            concept_controlnets=concept_controlnets, cn_cfg=cn_cfg)
 
     x, _ = jax.lax.fori_loop(0, sched.num_steps, body, (latents, state0))
     return x
@@ -218,7 +311,10 @@ def sample_stage(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                  stage: int = 1,
                  fusion_start: int = regions.FUSION_START_STEP,
                  concept_ip_adapters: Sequence = (),
-                 ip_scale: float = 1.0) -> Array:
+                 ip_scale: float = 1.0,
+                 base_controlnets: Sequence = (),
+                 concept_controlnets: Sequence = (),
+                 cn_cfg=None) -> Array:
     """One OMG stage end-to-end: seed -> duplicated latents -> denoise.
 
     Stage 1 and stage 2 MUST be called with the same ``key`` so the
@@ -236,4 +332,6 @@ def sample_stage(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         tuple(concept_inputs), tuple(concept_loras), masks,
         jnp.asarray(stage == 2),
         concept_ip_adapters=tuple(concept_ip_adapters),
-        fusion_start=fusion_start, ip_scale_static=ip_scale)
+        fusion_start=fusion_start, ip_scale_static=ip_scale,
+        base_controlnets=tuple(base_controlnets),
+        concept_controlnets=tuple(concept_controlnets), cn_cfg=cn_cfg)

@@ -99,6 +99,39 @@ def test_merge_skips_none():
     assert lora_lib.merge_loras([None], [1.0]) is None
 
 
+def test_stack_loras_matches_sequential():
+    """Per-lane stacked deltas == applying each adapter separately."""
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 6)
+    din, dout = 8, 8
+    x = jax.random.normal(ks[0], (4, 3, din))  # 4 lanes (2 concepts x 2)
+    p = layers.init_linear(ks[1], din, dout)
+
+    def mk(k1, k2, r, s):
+        return {"m": {"down": jax.random.normal(k1, (din, r)),
+                      "up": jax.random.normal(k2, (r, dout)),
+                      "scale": jnp.asarray(s)}}
+
+    a = mk(ks[2], ks[3], 2, 1.5)       # rank 2
+    b = mk(ks[4], ks[5], 3, 0.7)       # rank 3 (padding exercised)
+    stacked = lora_lib.stack_loras([a, b], repeat=2)
+    assert stacked["m"]["down"].shape == (4, din, 3)
+
+    y = layers.linear(p, x, stacked["m"])
+    for lane, tree in [(0, a), (1, a), (2, b), (3, b)]:
+        expect = layers.linear(p, x[lane], tree["m"])
+        np.testing.assert_allclose(np.asarray(y[lane]), np.asarray(expect),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def test_stack_loras_none_lane():
+    a = {"m": {"down": jnp.ones((4, 2)), "up": jnp.ones((2, 4)),
+               "scale": jnp.asarray(1.0)}}
+    stacked = lora_lib.stack_loras([a, None], repeat=1)
+    np.testing.assert_allclose(np.asarray(stacked["m"]["scale"]), [1.0, 0.0])
+    assert lora_lib.stack_loras([None, None]) is None
+
+
 def test_scale_lora():
     a = {"m": {"down": jnp.ones((4, 2)), "up": jnp.ones((2, 4)),
                "scale": jnp.asarray(2.0)}}

@@ -98,3 +98,87 @@ def test_alpha_schedule_matches_reference_shape():
 def test_mapper_identity_for_equal_prompts():
     m = p2p.replacement_mapper(["same prompt", "same prompt"])
     np.testing.assert_array_equal(m, np.eye(77, dtype=np.float32))
+
+
+# --------------------------------------------------------------------------
+# Lane formulation == materialized-probs formulation (the perf-critical
+# rewrite: attention is linear in probs, so P2P edits move to the
+# attention inputs/outputs with no O(N²) materialization)
+# --------------------------------------------------------------------------
+
+def _rand_qkv(key, nq, nk, d=8, h=2):
+    ks = jax.random.split(key, 3)
+    q = jax.random.normal(ks[0], (4, h, nq, d))
+    k = jax.random.normal(ks[1], (4, h, nk, d))
+    v = jax.random.normal(ks[2], (4, h, nk, d))
+    # cross-attn invariant the lane form exploits: both conditional lanes
+    # attend over the same prompt's K/V (reference rows [neg,neg,pos,pos])
+    k = k.at[3].set(k[2])
+    v = v.at[3].set(v[2])
+    return q, k, v
+
+
+def _probs_path(ctl_step, q, k, v, is_cross):
+    from omg_tpu.nn.attention import sdpa_with_probs
+    return sdpa_with_probs(
+        q, k, v,
+        probs_transform=lambda probs, *, is_cross=is_cross: ctl_step(
+            probs, is_cross=is_cross),
+        is_cross=is_cross)
+
+
+def _lane_path(ctl_step, q, k, v, is_cross):
+    from omg_tpu.nn.attention import sdpa
+    if is_cross:
+        out = sdpa(q, k, v)
+        return ctl_step.cross_lane_out(out, q, k, v,
+                                       lambda a, b, c: sdpa(a, b, c))
+    ql, kl = ctl_step.self_lane_qk(q, k)
+    return sdpa(ql, kl, v)
+
+
+@pytest.mark.parametrize("step", [1, 7])
+def test_lane_equals_probs_cross_full_alpha(ctl, step):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(0), nq=16, nk=77)
+    s = ctl.at_step(jnp.int32(step))
+    np.testing.assert_allclose(
+        np.asarray(_lane_path(s, q, k, v, True)),
+        np.asarray(_probs_path(s, q, k, v, True)), atol=1e-5)
+
+
+def test_lane_equals_probs_cross_partial_alpha():
+    ctl2 = p2p.P2PControl.build(["a", "a"], num_steps=10,
+                                cross_replace_steps=0.5,
+                                self_replace_steps=0.0, width=4, height=4)
+    # hand-mix a fractional alpha row to exercise the blend term
+    alpha = ctl2.cross_alpha.at[3].set(
+        jnp.linspace(0.0, 1.0, 77))
+    ctl2 = p2p.P2PControl(ctl2.mapper, alpha, ctl2.self_start,
+                          ctl2.self_end, ctl2.self_seq_limit)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(1), nq=9, nk=77)
+    s = ctl2.at_step(jnp.int32(3))
+    np.testing.assert_allclose(
+        np.asarray(_lane_path(s, q, k, v, True)),
+        np.asarray(_probs_path(s, q, k, v, True)), atol=1e-5)
+
+
+def test_lane_equals_probs_cross_nonidentity_mapper():
+    ctl2 = p2p.P2PControl.build(["a", "a"], num_steps=10, width=4, height=4)
+    mapper = jax.nn.softmax(
+        jax.random.normal(jax.random.PRNGKey(9), (77, 77)), axis=-1)
+    ctl2 = p2p.P2PControl(mapper, ctl2.cross_alpha, ctl2.self_start,
+                          ctl2.self_end, ctl2.self_seq_limit)
+    q, k, v = _rand_qkv(jax.random.PRNGKey(2), nq=5, nk=77)
+    s = ctl2.at_step(jnp.int32(2))
+    np.testing.assert_allclose(
+        np.asarray(_lane_path(s, q, k, v, True)),
+        np.asarray(_probs_path(s, q, k, v, True)), atol=1e-5)
+
+
+@pytest.mark.parametrize("step", [1, 8])  # in-window, out-of-window
+def test_lane_equals_probs_self(ctl, step):
+    q, k, v = _rand_qkv(jax.random.PRNGKey(3), nq=16, nk=16)
+    s = ctl.at_step(jnp.int32(step))
+    np.testing.assert_allclose(
+        np.asarray(_lane_path(s, q, k, v, False)),
+        np.asarray(_probs_path(s, q, k, v, False)), atol=1e-5)

@@ -80,42 +80,59 @@ def test_lora_changes_output_linearly(tiny):
     assert not jnp.allclose(base, one, atol=1e-3)
 
 
-class CountingControl:
-    """Records which layers want probs; identity transform."""
+class CountingStep:
+    """P2PStepControl wrapper that records which layers engage."""
 
-    def __init__(self, self_max_q):
-        self.self_max_q = self_max_q
-        self.calls = []
+    def __init__(self, inner):
+        self.inner = inner
+        self.engaged = []
 
     def wants(self, *, is_cross, num_queries):
-        return is_cross or num_queries <= self.self_max_q
+        r = self.inner.wants(is_cross=is_cross, num_queries=num_queries)
+        if r:
+            self.engaged.append((is_cross, num_queries))
+        return r
 
-    def __call__(self, probs, *, is_cross):
-        self.calls.append((is_cross, probs.shape))
-        return probs
+    def self_lane_qk(self, q, k):
+        return self.inner.self_lane_qk(q, k)
+
+    def cross_lane_out(self, out, q, k, v, sdpa_fn):
+        return self.inner.cross_lane_out(out, q, k, v, sdpa_fn)
 
 
 def test_control_hook_layer_gating(tiny):
+    from omg_tpu.control import p2p
     cfg, p = tiny
-    sample, ehs, pooled, tids = _inputs(cfg)
-    s = cfg.sample_size  # 16 -> level-1 features are 8x8=64 tokens
-    ctrl = CountingControl(self_max_q=64)
+    sample, ehs, pooled, tids = _inputs(cfg, b=4)
+    # lanes [unc_A, unc_B, cond_A, cond_B] with identical A/B content
+    sample = sample.at[1].set(sample[0]).at[3].set(sample[2])
+    ehs = ehs.at[1].set(ehs[0]).at[3].set(ehs[2])
+    pooled = pooled.at[1].set(pooled[0]).at[3].set(pooled[2])
+
+    # every self-attn layer in tiny config has 64 queries (8x8)
+    ctl = p2p.P2PControl.build(["x", "x"], num_steps=10,
+                               self_replace_steps=0.5, width=8, height=8)
+    step = CountingStep(ctl.at_step(jnp.int32(2)))
     out = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
-                     text_embeds=pooled, time_ids=tids, control=ctrl)
-    n_cross = sum(1 for c, _ in ctrl.calls if c)
-    n_self = sum(1 for c, _ in ctrl.calls if not c)
+                     text_embeds=pooled, time_ids=tids, control=step)
+    n_cross = sum(1 for c, _ in step.engaged if c)
+    n_self = sum(1 for c, _ in step.engaged if not c)
     assert n_cross == unet.num_cross_attention_layers(cfg)
-    # every self-attn layer in tiny config has 64 queries -> all gated in
     assert n_self == n_cross
-    # identity transform must not change the output vs no control
+
+    # identical A/B lanes => the replace is a mathematical no-op
     base = unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
                       text_embeds=pooled, time_ids=tids)
     assert jnp.allclose(out, base, atol=1e-5)
 
-    strict = CountingControl(self_max_q=0)  # gate out all self-attn
+    # a seq-limit of 0 gates out every self-attn layer
+    strict_ctl = p2p.P2PControl.build(["x", "x"], num_steps=10,
+                                      self_replace_steps=0.5,
+                                      width=0, height=0)
+    strict = CountingStep(strict_ctl.at_step(jnp.int32(2)))
     unet.apply(p, cfg, sample, jnp.asarray(10), ehs,
                text_embeds=pooled, time_ids=tids, control=strict)
-    assert sum(1 for c, _ in strict.calls if not c) == 0
+    assert sum(1 for c, _ in strict.engaged if not c) == 0
 
 
 def test_controlnet_residual_injection(tiny):
