@@ -1,0 +1,123 @@
+"""OMG + LoRA command-line entry point.
+
+Flag-compatible with the reference's ``inference_lora.py`` (reference:
+inference_lora.py:201-223): same model-path flags, prompt/prompt_rewrite
+DSL, '|'-separated LoRA paths, optional style LoRA, segment-type choice,
+seed — and the same outputs: ``stage-1.png`` / ``stage-2.png`` plus a
+config text file named by a sha256 hash of the run config
+(inference_lora.py:301-323).
+
+Usage:
+    python -m omg_tpu.cli.inference_lora \
+        --pretrained_sdxl_model /path/to/stable-diffusion-xl-base-1.0 \
+        --lora_path a.safetensors|b.safetensors \
+        --prompt "..." --prompt_rewrite "[...]-*-[...]|[...]-*-[...]"
+"""
+
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+
+
+def parse_args():
+    parser = argparse.ArgumentParser("omg_tpu OMG+LoRA", add_help=True)
+    parser.add_argument("--pretrained_sdxl_model",
+                        default="./checkpoint/stable-diffusion-xl-base-1.0")
+    parser.add_argument("--controlnet_checkpoint", default="")
+    parser.add_argument("--spatial_condition", default="", type=str,
+                        help="path to a pose/canny/depth condition image")
+    parser.add_argument("--efficientViT_checkpoint",
+                        default="./checkpoint/sam/xl1.pt", type=str)
+    parser.add_argument("--dino_checkpoint",
+                        default="./checkpoint/GroundingDINO", type=str)
+    parser.add_argument("--sam_checkpoint",
+                        default="./checkpoint/sam/sam_vit_h_4b8939.pth")
+    parser.add_argument("--save_dir", default="results/lora", type=str)
+    parser.add_argument("--prompt", default="Close-up photo of the cool man"
+                        " and beautiful woman at the beach, 4k.", type=str)
+    parser.add_argument("--negative_prompt",
+                        default="noisy, blurry, soft, deformed, ugly")
+    parser.add_argument("--prompt_rewrite", default="", type=str)
+    parser.add_argument("--lora_path", default="", type=str,
+                        help="'|'-separated character LoRA safetensors")
+    parser.add_argument("--style_lora", default="", type=str)
+    parser.add_argument("--segment_type", default="sam",
+                        help="mask provider kind (omg_tpu.segment)")
+    parser.add_argument("--seed", default=14, type=int)
+    parser.add_argument("--suffix", default="", type=str)
+    # extensions over the reference
+    parser.add_argument("--num_steps", default=50, type=int)
+    parser.add_argument("--height", default=1024, type=int)
+    parser.add_argument("--width", default=1024, type=int)
+    parser.add_argument("--guidance_scale", default=7.5, type=float)
+    return parser.parse_args()
+
+
+def main():
+    args = parse_args()
+    # Import after arg parsing so --help stays instant.
+    from PIL import Image
+
+    from omg_tpu import lora as lora_lib
+    from omg_tpu import loader
+    from omg_tpu.pipelines import omg as omg_lib
+    from omg_tpu.segment import build_mask_provider
+
+    cfg, params, tok1, tok2 = loader.load_sdxl(args.pretrained_sdxl_model)
+
+    cn_cfg = controlnet_params = None
+    spatial = None
+    if args.controlnet_checkpoint and args.spatial_condition:
+        import numpy as np
+        cn_cfg, controlnet_params = loader.load_controlnet(
+            args.controlnet_checkpoint)
+        spatial = np.asarray(
+            Image.open(args.spatial_condition).convert("RGB").resize(
+                (args.width, args.height)))
+
+    provider = build_mask_provider(
+        args.segment_type,
+        sam_checkpoint=args.efficientViT_checkpoint or args.sam_checkpoint)
+
+    concept_loras = [lora_lib.load_lora(p)
+                     for p in args.lora_path.split("|") if p]
+    style = (lora_lib.load_lora(args.style_lora)
+             if args.style_lora and os.path.exists(args.style_lora) else None)
+
+    engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
+                         tokenizer_2=tok2, mask_provider=provider,
+                         cn_cfg=cn_cfg, num_steps=args.num_steps)
+
+    result = engine.generate(
+        args.prompt, negative_prompt=args.negative_prompt,
+        prompt_rewrite=args.prompt_rewrite,
+        concept_loras=concept_loras, style_lora=style,
+        seed=args.seed, height=args.height, width=args.width,
+        guidance_scale=args.guidance_scale,
+        spatial_condition=spatial, controlnet_params=controlnet_params)
+
+    configs = [
+        f"pretrained_model: {args.pretrained_sdxl_model}\n",
+        f"context_prompt: {args.prompt}\n",
+        f"neg_context_prompt: {args.negative_prompt}\n",
+        f"prompt_rewrite: {args.prompt_rewrite}\n",
+    ]
+    hash_code = hashlib.sha256("".join(configs).encode()).hexdigest()[:8]
+    save_dir = os.path.join(args.save_dir, f"seed_{args.seed}")
+    os.makedirs(save_dir, exist_ok=True)
+    print(f"save to: {save_dir}")
+
+    Image.fromarray(result.stage1[1]).save(
+        os.path.join(save_dir, "stage-1.png"))
+    if result.stage2 is not None:
+        Image.fromarray(result.stage2[1]).save(
+            os.path.join(save_dir, "stage-2.png"))
+    cfg_name = f"image---{args.suffix}---{hash_code}.txt"
+    with open(os.path.join(save_dir, cfg_name), "w") as fw:
+        fw.writelines(configs)
+
+
+if __name__ == "__main__":
+    main()

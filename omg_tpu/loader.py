@@ -1,0 +1,83 @@
+"""Load an SDXL checkpoint directory (HF layout) into the framework.
+
+Mirrors what the reference's ``from_pretrained`` calls consume
+(reference: inference_lora.py:153-155 loads
+./checkpoint/stable-diffusion-xl-base-1.0 with unet/ vae/ text_encoder/
+text_encoder_2/ tokenizer/ tokenizer_2/ subfolders).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Any, Optional
+
+import jax.numpy as jnp
+
+from omg_tpu import config as cfglib
+from omg_tpu import convert
+from omg_tpu.pipelines import sdxl
+from omg_tpu.text.tokenizer import HFCLIPTokenizer
+
+
+def _load_folder_sd(folder: str) -> dict:
+    """Merge all safetensors shards in a checkpoint subfolder."""
+    files = sorted(glob.glob(os.path.join(folder, "*.safetensors")))
+    if not files:
+        files = sorted(glob.glob(os.path.join(folder, "*.bin")))
+    if not files:
+        raise FileNotFoundError(f"no weights in {folder}")
+    sd: dict = {}
+    for f in files:
+        sd.update(convert.load_state_dict(f))
+    return sd
+
+
+def _vae_scaling(folder: str, default: float = 0.13025) -> float:
+    cfg_path = os.path.join(folder, "config.json")
+    if os.path.exists(cfg_path):
+        with open(cfg_path) as f:
+            return float(json.load(f).get("scaling_factor", default))
+    return default
+
+
+def load_sdxl(checkpoint_dir: str, *, dtype: Any = jnp.bfloat16):
+    """-> (SDXLConfig, SDXLParams, tokenizer, tokenizer_2)."""
+    import dataclasses
+    vae_dir = os.path.join(checkpoint_dir, "vae")
+    cfg = sdxl.SDXLConfig(
+        unet=dataclasses.replace(cfglib.sdxl_unet(), dtype=dtype),
+        vae=dataclasses.replace(cfglib.sdxl_vae(),
+                                scaling_factor=_vae_scaling(vae_dir)),
+        text_encoder=dataclasses.replace(cfglib.sdxl_text_encoder(),
+                                         dtype=dtype),
+        text_encoder_2=dataclasses.replace(cfglib.sdxl_text_encoder_2(),
+                                           dtype=dtype),
+    )
+
+    params = sdxl.SDXLParams(
+        unet=convert.convert_unet(
+            _load_folder_sd(os.path.join(checkpoint_dir, "unet")),
+            dtype=dtype),
+        vae=convert.convert_vae(_load_folder_sd(vae_dir), dtype=jnp.float32),
+        text_encoder=convert.convert_clip(
+            _load_folder_sd(os.path.join(checkpoint_dir, "text_encoder")),
+            dtype=dtype),
+        text_encoder_2=convert.convert_clip(
+            _load_folder_sd(os.path.join(checkpoint_dir, "text_encoder_2")),
+            dtype=dtype),
+    )
+    tok1 = HFCLIPTokenizer(os.path.join(checkpoint_dir, "tokenizer"))
+    tok2 = HFCLIPTokenizer(os.path.join(checkpoint_dir, "tokenizer_2"))
+    return cfg, params, tok1, tok2
+
+
+def load_controlnet(checkpoint_dir: str, *, dtype: Any = jnp.bfloat16):
+    """-> (ControlNetConfig, params) from a ControlNet checkpoint dir."""
+    cfg = cfglib.sdxl_controlnet()
+    folder = checkpoint_dir
+    if os.path.isdir(os.path.join(checkpoint_dir, "controlnet")):
+        folder = os.path.join(checkpoint_dir, "controlnet")
+    params = convert.convert_controlnet(_load_folder_sd(folder), dtype=dtype)
+    return cfg, params

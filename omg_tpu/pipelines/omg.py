@@ -1,0 +1,223 @@
+"""High-level OMG pipeline: the user-facing two-stage engine.
+
+Plays the role of the reference's entry-point orchestration
+(reference: inference_lora.py:226-323): build conditioning, run stage 1,
+detect+segment per-concept masks on the stage-1 image, re-run the same
+seed as stage 2 with region fusion, decode.
+
+Heavy compute (text encoding, both denoise stages, VAE decode) is jitted;
+this class only does host-side orchestration — tokenization, the
+prompt_rewrite DSL, mask-provider calls, and PRNG key handling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omg_tpu import lora as lora_lib
+from omg_tpu import rewrite
+from omg_tpu.config import ControlNetConfig, ResamplerConfig
+from omg_tpu.control import p2p, regions as regions_lib
+from omg_tpu.diffusion import schedulers
+from omg_tpu.pipelines import multiconcept, sdxl
+
+Array = jax.Array
+
+# mask_provider(image_uint8 [H, W, 3], class_text) -> [H, W] {0,1} or None
+MaskProvider = Callable[[np.ndarray, str], Optional[np.ndarray]]
+
+
+@dataclasses.dataclass
+class GenerationResult:
+    stage1: np.ndarray                  # [2, H, W, 3] uint8 (copy A, B)
+    stage2: Optional[np.ndarray]        # same, or None if no masks found
+    masks: List[Optional[np.ndarray]]   # per-concept pixel masks
+
+    @property
+    def image(self) -> np.ndarray:
+        """The deliverable: copy B of the last stage (reference saves
+        image[1], e.g. gradio returns image[1] at app.py:467)."""
+        out = self.stage2 if self.stage2 is not None else self.stage1
+        return out[1]
+
+
+@dataclasses.dataclass
+class InstantIDModels:
+    """Identity stack: Resampler + per-layer IP K/V + IdentityNet."""
+    resampler_cfg: ResamplerConfig
+    resampler_params: dict
+    ip_adapter_layers: list             # [{to_k_ip, to_v_ip}] attn2 order
+    identitynet_params: Optional[dict] = None
+    identitynet_cfg: Optional[ControlNetConfig] = None
+    ip_scale: float = 0.8
+    identitynet_scale: float = 0.8
+
+
+@dataclasses.dataclass
+class OMG:
+    """The OMG engine over one SDXL weight set."""
+
+    cfg: sdxl.SDXLConfig
+    params: sdxl.SDXLParams
+    tokenizer: object                   # text.tokenizer.Tokenizer (enc 1)
+    tokenizer_2: object                 # (enc 2)
+    mask_provider: Optional[MaskProvider] = None
+    cn_cfg: Optional[ControlNetConfig] = None
+    scheduler: str = "euler"
+    num_steps: int = 50
+    # Concept-LoRA strength on concept UNet passes (reference:
+    # cross_attention_kwargs={'scale': 0.8}, lora_pipeline.py:596).
+    concept_lora_scale: float = 0.8
+    # set_adapters([char, style], [0.7, 0.5]) mix (reference :589).
+    char_style_weights: tuple = (0.7, 0.5)
+
+    # ---------------------------------------------------------------- text
+
+    def encode(self, prompt: str, negative: str):
+        ids1 = jnp.asarray(self.tokenizer([prompt]))
+        ids2 = jnp.asarray(self.tokenizer_2([prompt]))
+        nids1 = jnp.asarray(self.tokenizer([negative]))
+        nids2 = jnp.asarray(self.tokenizer_2([negative]))
+        ep, pp = sdxl.encode_tokens(self.cfg, self.params, ids1, ids2)
+        en, pn = sdxl.encode_tokens(self.cfg, self.params, nids1, nids2)
+        return ep, pp, en, pn
+
+    def _token_in_prompt(self, word: str, prompt: str) -> bool:
+        """Reference's mask gate: run detection for 'man'/'woman' only if
+        the word's token appears in the global prompt
+        (inference_lora.py:276-283)."""
+        wid = self.tokenizer.encode_word(word)
+        ids = self.tokenizer.encode(prompt)
+        return wid in list(ids[1:-1])
+
+    # ------------------------------------------------------------ generate
+
+    def generate(self, prompt: str, *, negative_prompt: str = "",
+                 prompt_rewrite: str = "",
+                 concept_loras: Sequence[Optional[dict]] = (),
+                 style_lora: Optional[dict] = None,
+                 seed: int = 14, height: int = 1024, width: int = 1024,
+                 guidance_scale: float = 7.5,
+                 num_steps: Optional[int] = None,
+                 detection_classes: Sequence[str] = ("man", "woman"),
+                 spatial_condition: Optional[np.ndarray] = None,
+                 controlnet_params: Optional[dict] = None,
+                 controlnet_scale: float = 1.0,
+                 instantid: Optional[InstantIDModels] = None,
+                 face_embeddings: Sequence[Optional[np.ndarray]] = (),
+                 face_kps_image: Optional[np.ndarray] = None,
+                 masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+                 ) -> GenerationResult:
+        steps = num_steps or self.num_steps
+        sched = schedulers.make_schedule(self.scheduler, steps)
+        key = jax.random.PRNGKey(seed)
+
+        # --- conditioning ---------------------------------------------
+        ep, pp, en, pn = self.encode(prompt, negative_prompt)
+        tids = sdxl.add_time_ids((height, width), (0, 0), (height, width))
+        base_inputs = multiconcept.make_base_inputs(
+            ep, pp, en, pn, tids, guidance_scale)
+
+        region_specs = rewrite.parse_rewrite(prompt_rewrite)
+        concept_inputs = []
+        loras_final: list = []
+        ip_adapters: list = []
+        concept_cns: list = []
+        for k, region in enumerate(region_specs):
+            rep, rpp, ren, rpn = self.encode(region.prompt,
+                                             region.negative_prompt)
+            ip_ctx = None
+            if instantid is not None and k < len(face_embeddings) \
+                    and face_embeddings[k] is not None:
+                from omg_tpu import instantid as iid
+                ip_ctx = iid.encode_face_tokens(
+                    instantid.resampler_params, instantid.resampler_cfg,
+                    jnp.asarray(face_embeddings[k]))
+            concept_inputs.append(multiconcept.make_concept_inputs(
+                rep, rpp, ren, rpn, tids, ip_context=ip_ctx))
+
+            tree = concept_loras[k] if k < len(concept_loras) else None
+            unet_tree = None
+            if tree is not None:
+                unet_tree = tree.get("unet", tree)
+            style_tree = None
+            if style_lora is not None:
+                style_tree = style_lora.get("unet", style_lora)
+            if style_tree is not None:
+                merged = lora_lib.merge_loras(
+                    [unet_tree, style_tree], list(self.char_style_weights))
+            else:
+                merged = unet_tree
+            loras_final.append(
+                lora_lib.scale_lora(merged, self.concept_lora_scale))
+
+            if instantid is not None:
+                ip_adapters.append(instantid.ip_adapter_layers)
+                if (instantid.identitynet_params is not None
+                        and face_kps_image is not None):
+                    concept_cns.append(multiconcept.ControlNetInputs(
+                        params=instantid.identitynet_params,
+                        cond_image=jnp.asarray(face_kps_image,
+                                               jnp.float32)[None] / 255.0,
+                        scale=jnp.asarray(instantid.identitynet_scale),
+                        encoder_hidden_states=ip_ctx))
+
+        base_cns = []
+        if spatial_condition is not None and controlnet_params is not None:
+            base_cns.append(multiconcept.ControlNetInputs(
+                params=controlnet_params,
+                cond_image=jnp.asarray(spatial_condition, jnp.float32)[None]
+                / 255.0,
+                scale=jnp.asarray(controlnet_scale)))
+
+        controller = p2p.P2PControl.build(
+            [prompt, prompt], steps, cross_replace_steps=1.0,
+            self_replace_steps=0.4, width=width // 32, height=height // 32,
+            tokenizer=self.tokenizer)
+
+        kw = dict(
+            cfg=self.cfg, sched=sched, unet_params=self.params.unet,
+            key=key, height=height, width=width, base_inputs=base_inputs,
+            controller=controller, concept_inputs=concept_inputs,
+            concept_loras=loras_final,
+            concept_ip_adapters=ip_adapters,
+            ip_scale=instantid.ip_scale if instantid is not None else 1.0,
+            base_controlnets=base_cns, concept_controlnets=concept_cns,
+            cn_cfg=self.cn_cfg)
+
+        # --- stage 1 ---------------------------------------------------
+        lat1 = multiconcept.sample_stage(stage=1, **kw)
+        img1 = self._decode(lat1)
+
+        # --- masks -----------------------------------------------------
+        if masks is None:
+            masks = []
+            for k in range(len(region_specs)):
+                cls = (detection_classes[k]
+                       if k < len(detection_classes) else None)
+                m = None
+                if (cls and self.mask_provider is not None
+                        and self._token_in_prompt(cls, prompt)):
+                    m = self.mask_provider(img1[1], cls)
+                masks.append(m)
+        masks = list(masks)
+
+        # --- stage 2 ---------------------------------------------------
+        img2 = None
+        if any(m is not None for m in masks):
+            mask_stack = regions_lib.make_concept_mask_stack(
+                masks, (height // 8, width // 8), len(region_specs))
+            lat2 = multiconcept.sample_stage(stage=2, masks=mask_stack, **kw)
+            img2 = self._decode(lat2)
+
+        return GenerationResult(stage1=img1, stage2=img2, masks=masks)
+
+    def _decode(self, latents: Array) -> np.ndarray:
+        img = sdxl.decode_latents(self.cfg, self.params.vae, latents)
+        return np.asarray(
+            (img * 255).astype(jnp.uint8))
