@@ -98,15 +98,14 @@ def main():
     m[1, :, W // 16:] = 1.0
     masks = jnp.asarray(m)
 
-    kw = dict(cfg=cfg, sched=sched, unet_params=unet_params,
-              key=jax.random.PRNGKey(5), height=H, width=W,
-              base_inputs=base, controller=ctl,
-              concept_inputs=[concept, concept], concept_loras=list(loras),
-              masks=masks)
-
     def one_generation():
-        lat1 = multiconcept.sample_stage(stage=1, **kw)
-        lat2 = multiconcept.sample_stage(stage=2, **kw)
+        lat1, cache = multiconcept.sample_stage1_cached(
+            cfg, sched, unet_params, key=jax.random.PRNGKey(5),
+            height=H, width=W, base_inputs=base)
+        lat2 = multiconcept.sample_stage2_resumed(
+            cfg, sched, unet_params, cache, base_inputs=base,
+            controller=ctl, concept_inputs=[concept, concept],
+            concept_loras=list(loras), masks=masks)
         img = sdxl.decode_latents(cfg, vae_params, lat2)
         img.block_until_ready()
         return img

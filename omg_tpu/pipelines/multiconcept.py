@@ -280,7 +280,7 @@ def denoise_multiconcept(
         cn_cfg=None,
 ) -> Array:
     """The two-stage OMG denoise. One compilation serves both stages."""
-    state0 = schedulers.init_state(sched, (4,) + latents.shape[1:])
+    state0 = schedulers.init_state(sched, latents.shape)
 
     def body(i, carry):
         x, st = carry
@@ -299,6 +299,139 @@ def denoise_multiconcept(
 def duplicate_latents(latents_single: Array) -> Array:
     """[1, h, w, 4] -> [2, h, w, 4]: stage-1 copies (reference :409)."""
     return jnp.concatenate([latents_single, latents_single])
+
+
+# --------------------------------------------------------------------------
+# Fast two-stage path: shared prefix + copy-deduplicated stage 1
+#
+# Two exact identities the reference's implementation doesn't exploit
+# (it always runs the full 4-row batch for 2x50 steps):
+#  1. In stage 1 the two latent copies are bit-identical at every step:
+#     they share the seed, the prompt, and the P2P replace is a no-op on
+#     identical lanes. Stage 1 therefore runs as a plain [uncond, cond]
+#     b=2 CFG denoise and duplicates at the end.
+#  2. Stage 2 steps 0..fusion_start are identical to stage 1's (same
+#     seed, fusion gate closed, reference :568), so stage 2 resumes from
+#     cached boundary latents instead of re-denoising from scratch.
+# Lane-step cost per request drops from 536 to 372 (-30%) with zero
+# numerical change.
+# --------------------------------------------------------------------------
+
+
+class StageCache(NamedTuple):
+    """Boundary state handed from stage 1 to stage 2."""
+    latents: Array                       # [1, h, w, 4] at step fusion_start+1
+    sched_state: schedulers.SchedulerState
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg"))
+def _denoise_cfg_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                       unet_params: dict, latents: Array,
+                       state: schedulers.SchedulerState,
+                       base_inputs: BaseInputs, *, i0: int, i1: int,
+                       base_controlnets: tuple = (), cn_cfg=None) -> tuple:
+    """Plain b=1 CFG denoise over steps [i0, i1); inputs rows [unc, cond]."""
+    embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
+    tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
+    tids2 = base_inputs.time_ids[jnp.array([0, 2])]
+
+    def body(i, carry):
+        x, st = carry
+        t = sched.timesteps[i]
+        lin = jnp.concatenate([x, x])
+        lin = schedulers.scale_model_input(sched, lin, i)
+        down_res = mid_res = None
+        if base_controlnets:
+            down_res, mid_res = _controlnet_residuals(
+                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2)
+        eps = unet.apply(unet_params, cfg.unet, lin, t, embeds2,
+                         text_embeds=tembeds2, time_ids=tids2,
+                         down_block_residuals=down_res,
+                         mid_block_residual=mid_res)
+        guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
+        return schedulers.step(sched, st, guided, i, x)
+
+    return jax.lax.fori_loop(i0, i1, body, (latents, state))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "i0", "fusion_start", "ip_scale_static",
+                     "cn_cfg"))
+def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                      unet_params: dict, latents: Array,
+                      state: schedulers.SchedulerState,
+                      base_inputs: BaseInputs, controller, concept_inputs,
+                      concept_loras, masks, *, i0: int,
+                      concept_ip_adapters: tuple = (),
+                      fusion_start: int = regions.FUSION_START_STEP,
+                      ip_scale_static: float = 1.0,
+                      base_controlnets: tuple = (),
+                      concept_controlnets: tuple = (), cn_cfg=None) -> Array:
+    """Full multiconcept (4-row) stage-2 loop over steps [i0, num_steps)."""
+    def body(i, carry):
+        x, st = carry
+        return multiconcept_step(
+            cfg, sched, unet_params, x, st, i, base_inputs, controller,
+            concept_inputs, concept_loras, masks, jnp.bool_(True),
+            concept_ip_adapters=concept_ip_adapters,
+            fusion_start=fusion_start, ip_scale_static=ip_scale_static,
+            base_controlnets=base_controlnets,
+            concept_controlnets=concept_controlnets, cn_cfg=cn_cfg)
+
+    x, _ = jax.lax.fori_loop(i0, sched.num_steps, body, (latents, state))
+    return x
+
+
+def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                         unet_params: dict, *, key: Array, height: int,
+                         width: int, base_inputs: BaseInputs,
+                         fusion_start: int = regions.FUSION_START_STEP,
+                         base_controlnets: Sequence = (),
+                         cn_cfg=None) -> tuple:
+    """Stage 1 via the dedup fast path -> ([2, h, w, 4] latents, StageCache)."""
+    lat = sdxl.prepare_latents(key, 1, height, width, sched, cfg.unet.dtype)
+    state = schedulers.init_state(sched, lat.shape)
+    boundary = min(fusion_start + 1, sched.num_steps)
+    lat_b, st_b = _denoise_cfg_range(
+        cfg, sched, unet_params, lat, state, base_inputs,
+        i0=0, i1=boundary, base_controlnets=tuple(base_controlnets),
+        cn_cfg=cn_cfg)
+    cache = StageCache(lat_b, st_b)
+    lat_end, _ = _denoise_cfg_range(
+        cfg, sched, unet_params, lat_b, st_b, base_inputs,
+        i0=boundary, i1=sched.num_steps,
+        base_controlnets=tuple(base_controlnets), cn_cfg=cn_cfg)
+    return duplicate_latents(lat_end), cache
+
+
+def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                          unet_params: dict, cache: StageCache, *,
+                          base_inputs: BaseInputs, controller,
+                          concept_inputs: Sequence, concept_loras: Sequence,
+                          masks: Array,
+                          fusion_start: int = regions.FUSION_START_STEP,
+                          concept_ip_adapters: Sequence = (),
+                          ip_scale: float = 1.0,
+                          base_controlnets: Sequence = (),
+                          concept_controlnets: Sequence = (),
+                          cn_cfg=None) -> Array:
+    """Stage 2 resumed from the cached pre-fusion boundary -> [2, h, w, 4]."""
+    boundary = min(fusion_start + 1, sched.num_steps)
+    lat4 = duplicate_latents(cache.latents)
+    st = cache.sched_state
+    state4 = schedulers.SchedulerState(
+        prev_model_output=jnp.concatenate(
+            [st.prev_model_output, st.prev_model_output]),
+        step_count=st.step_count)
+    return _denoise_mc_range(
+        cfg, sched, unet_params, lat4, state4, base_inputs, controller,
+        tuple(concept_inputs), tuple(concept_loras), masks,
+        i0=boundary, fusion_start=fusion_start,
+        concept_ip_adapters=tuple(concept_ip_adapters),
+        ip_scale_static=ip_scale,
+        base_controlnets=tuple(base_controlnets),
+        concept_controlnets=tuple(concept_controlnets), cn_cfg=cn_cfg)
 
 
 def sample_stage(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,

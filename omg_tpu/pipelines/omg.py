@@ -180,18 +180,11 @@ class OMG:
             self_replace_steps=0.4, width=width // 32, height=height // 32,
             tokenizer=self.tokenizer)
 
-        kw = dict(
-            cfg=self.cfg, sched=sched, unet_params=self.params.unet,
-            key=key, height=height, width=width, base_inputs=base_inputs,
-            controller=controller, concept_inputs=concept_inputs,
-            concept_loras=loras_final,
-            concept_ip_adapters=ip_adapters,
-            ip_scale=instantid.ip_scale if instantid is not None else 1.0,
-            base_controlnets=base_cns, concept_controlnets=concept_cns,
-            cn_cfg=self.cn_cfg)
-
-        # --- stage 1 ---------------------------------------------------
-        lat1 = multiconcept.sample_stage(stage=1, **kw)
+        # --- stage 1 (dedup fast path; see multiconcept.py) ------------
+        lat1, cache = multiconcept.sample_stage1_cached(
+            self.cfg, sched, self.params.unet, key=key, height=height,
+            width=width, base_inputs=base_inputs,
+            base_controlnets=base_cns, cn_cfg=self.cn_cfg)
         img1 = self._decode(lat1)
 
         # --- masks -----------------------------------------------------
@@ -212,7 +205,16 @@ class OMG:
         if any(m is not None for m in masks):
             mask_stack = regions_lib.make_concept_mask_stack(
                 masks, (height // 8, width // 8), len(region_specs))
-            lat2 = multiconcept.sample_stage(stage=2, masks=mask_stack, **kw)
+            lat2 = multiconcept.sample_stage2_resumed(
+                self.cfg, sched, self.params.unet, cache,
+                base_inputs=base_inputs, controller=controller,
+                concept_inputs=concept_inputs, concept_loras=loras_final,
+                masks=mask_stack,
+                concept_ip_adapters=ip_adapters,
+                ip_scale=(instantid.ip_scale
+                          if instantid is not None else 1.0),
+                base_controlnets=base_cns, concept_controlnets=concept_cns,
+                cn_cfg=self.cn_cfg)
             img2 = self._decode(lat2)
 
         return GenerationResult(stage1=img1, stage2=img2, masks=masks)

@@ -107,6 +107,42 @@ def test_stage2_fusion_changes_copy_b_only(setup):
                            atol=1e-4)
 
 
+def test_fast_path_matches_reference_path(setup):
+    """Dedup/resume fast path == the reference-faithful 4-row program.
+
+    Exercises both exact identities: stage-1 copies are bit-identical
+    (b=2 dedup), and stage-2 steps before the fusion gate equal
+    stage-1's (prefix reuse)."""
+    cfg, params, sched, base, concept, ctl = setup
+    lk = jax.random.split(jax.random.PRNGKey(42), 2)
+    lora = {"mid_block": {"attentions": [{"transformer_blocks": [{
+        "attn2": {"to_q": {
+            "down": jax.random.normal(lk[0], (64, 2)) * 0.2,
+            "up": jax.random.normal(lk[1], (2, 64)) * 0.2,
+            "scale": jnp.asarray(1.0)}}}]}]}}
+    key = jax.random.PRNGKey(17)
+    masks = _masks()
+    slow_kw = dict(cfg=cfg, sched=sched, unet_params=params, key=key,
+                   height=H, width=W, base_inputs=base, controller=ctl,
+                   concept_inputs=[concept, concept],
+                   concept_loras=[lora, None], masks=masks, fusion_start=2)
+    s1_slow = multiconcept.sample_stage(stage=1, **slow_kw)
+    s2_slow = multiconcept.sample_stage(stage=2, **slow_kw)
+
+    s1_fast, cache = multiconcept.sample_stage1_cached(
+        cfg, sched, params, key=key, height=H, width=W, base_inputs=base,
+        fusion_start=2)
+    s2_fast = multiconcept.sample_stage2_resumed(
+        cfg, sched, params, cache, base_inputs=base, controller=ctl,
+        concept_inputs=[concept, concept], concept_loras=[lora, None],
+        masks=masks, fusion_start=2)
+
+    np.testing.assert_allclose(np.asarray(s1_fast), np.asarray(s1_slow),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s2_fast), np.asarray(s2_slow),
+                               atol=2e-4)
+
+
 def test_same_seed_reproducible(setup):
     cfg, params, sched, base, concept, ctl = setup
     kwargs = dict(cfg=cfg, sched=sched, unet_params=params,
