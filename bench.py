@@ -23,6 +23,14 @@ import numpy as np
 
 def main():
     import jax
+    # Persistent compilation cache: the SDXL program takes minutes to
+    # compile; cache hits make repeat bench runs start in seconds.
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/omg_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from omg_tpu.control import p2p

@@ -1,0 +1,43 @@
+"""Serving entry point (role of gradio_demo/app.py's __main__).
+
+    python -m omg_tpu.cli.serve --pretrained_sdxl_model <dir> \
+        --registry registry.json --port 7861
+"""
+
+from __future__ import annotations
+
+import argparse
+
+
+def main():
+    p = argparse.ArgumentParser("omg_tpu serve")
+    p.add_argument("--pretrained_sdxl_model",
+                   default="./checkpoint/stable-diffusion-xl-base-1.0")
+    p.add_argument("--efficientViT_checkpoint",
+                   default="./checkpoint/sam/xl1.pt")
+    p.add_argument("--segment_type", default="sam")
+    p.add_argument("--registry", default="", help="registry JSON path")
+    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--port", default=7861, type=int)
+    p.add_argument("--num_steps", default=50, type=int)
+    args = p.parse_args()
+
+    from omg_tpu import loader
+    from omg_tpu.pipelines import omg as omg_lib
+    from omg_tpu.segment import build_mask_provider
+    from omg_tpu.serving.registry import Registry, default_registry
+    from omg_tpu.serving.server import OMGServer
+
+    cfg, params, tok1, tok2 = loader.load_sdxl(args.pretrained_sdxl_model)
+    provider = build_mask_provider(
+        args.segment_type, sam_checkpoint=args.efficientViT_checkpoint)
+    engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
+                         tokenizer_2=tok2, mask_provider=provider,
+                         num_steps=args.num_steps)
+    registry = (Registry.from_json(args.registry) if args.registry
+                else default_registry())
+    OMGServer(engine, registry).serve(args.host, args.port)
+
+
+if __name__ == "__main__":
+    main()

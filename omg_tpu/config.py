@@ -217,7 +217,9 @@ def tiny_controlnet() -> ControlNetConfig:
 
 
 def tiny_resampler() -> ResamplerConfig:
+    # output_dim == tiny_unet.cross_attention_dim so the image-prompt
+    # tokens drop straight into the concept UNet's IP cross-attention.
     return ResamplerConfig(
         dim=32, depth=1, dim_head=8, heads=4, num_queries=4,
-        embedding_dim=16, output_dim=32, ff_mult=2, dtype=jnp.float32,
+        embedding_dim=16, output_dim=48, ff_mult=2, dtype=jnp.float32,
     )

@@ -67,7 +67,15 @@ def _merge_heads(x: Array) -> Array:
 
 
 def sdpa(q: Array, k: Array, v: Array, *, mask: Optional[Array] = None) -> Array:
-    """Scaled dot-product attention on [B, H, N, D]; fp32 softmax."""
+    """Scaled dot-product attention on [B, H, N, D]; fp32 softmax.
+
+    Large dense self-attention routes to the Pallas flash kernel on TPU
+    (omg_tpu.ops.flash_attention) — O(N·D) HBM traffic instead of the
+    O(N²) score materialization XLA would emit.
+    """
+    from omg_tpu.ops import flash_attention as fa
+    if mask is None and fa.use_flash(q.shape[2], k.shape[2], q.shape[3]):
+        return fa.flash_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale

@@ -1,0 +1,118 @@
+"""Flash attention for SDXL self-attention, Pallas TPU.
+
+The hot attention in this workload is the UNet's 4096-token (64x64
+latent) self-attention: XLA materializes [B, H, 4096, 4096] fp32 score
+matrices in HBM (the reference materializes them too, via its hooked
+processors — src/pipelines/lora_pipeline.py:98-116). This kernel streams
+K/V blocks through VMEM with the online-softmax recurrence, so HBM
+traffic drops from O(N²) to O(N·D).
+
+Design notes (per the Pallas TPU guide):
+  * grid = (batch*heads, Nq/BQ); K/V for one (b, h) stay resident in
+    VMEM (4096 x 64 bf16 = 512 KB) and are consumed in BK-sized tiles
+    by a fori_loop — no DMA choreography needed at these sizes.
+  * scores/accumulators in fp32 (softmax in bf16 loses the tail);
+    matmuls hit the MXU via jnp.dot with preferred_element_type.
+  * head_dim 64 under-fills the 128-lane tile; acceptable — the MXU
+    contraction dim is what matters for these shapes.
+
+No mask/causal support: diffusion attention is dense. Cross-attention
+(77 text tokens) stays on the XLA path — nothing to win there.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+DEFAULT_BQ = 512
+DEFAULT_BK = 1024
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float):
+    q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
+    n_kv = k_ref.shape[1]
+    bq, d = q.shape
+
+    m0 = jnp.full((bq, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((bq, 1), jnp.float32)
+    acc0 = jnp.zeros((bq, d), jnp.float32)
+
+    def body(i, carry):
+        m, l, acc = carry
+        k = k_ref[0, pl.ds(i * bk, bk), :]            # [BK, D]
+        v = v_ref[0, pl.ds(i * bk, bk), :]
+        s = jax.lax.dot_general(
+            q, k.astype(jnp.float32),
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)       # [BQ, BK]
+        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        corr = jnp.exp(m - m_new)
+        l_new = l * corr + p.sum(axis=-1, keepdims=True)
+        acc_new = acc * corr + jnp.dot(
+            p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
+        return m_new, l_new, acc_new
+
+    _, l, acc = jax.lax.fori_loop(0, n_kv // bk, body, (m0, l0, acc0))
+    o_ref[0] = (acc / l).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
+def flash_attention(q: Array, k: Array, v: Array, *,
+                    bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK,
+                    interpret: bool = False) -> Array:
+    """Dense softmax attention. q: [B, H, Nq, D], k/v: [B, H, Nk, D]."""
+    b, h, nq, d = q.shape
+    nk = k.shape[2]
+
+    def pick(n, pref):
+        for cand in (pref, 1024, 512, 256, 128):
+            if cand <= n and n % cand == 0:
+                return cand
+        return n
+    bq_ = pick(nq, bq)
+    bk_ = pick(nk, bk)
+    scale = d ** -0.5
+
+    qf = q.reshape(b * h, nq, d)
+    kf = k.reshape(b * h, nk, d)
+    vf = v.reshape(b * h, nk, d)
+
+    out = pl.pallas_call(
+        functools.partial(_flash_kernel, bk=bk_, scale=scale),
+        grid=(b * h, nq // bq_),
+        in_specs=[
+            pl.BlockSpec((1, bq_, d), lambda ib, iq: (ib, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda ib, iq: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, nk, d), lambda ib, iq: (ib, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq_, d), lambda ib, iq: (ib, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=4 * b * h * nq * nk * d,
+            bytes_accessed=(b * h * (nq + 2 * nk) * d * q.dtype.itemsize
+                            + b * h * nq * d * q.dtype.itemsize),
+            transcendentals=b * h * nq * nk,
+        ),
+    )(qf, kf, vf)
+    return out.reshape(b, h, nq, d)
+
+
+def use_flash(nq: int, nk: int, head_dim: int) -> bool:
+    """Trace-time routing: flash for large dense self-attention on TPU."""
+    if jax.default_backend() != "tpu":
+        return False
+    return (nq == nk and nq >= 1024 and nq % 128 == 0
+            and head_dim in (64, 128))

@@ -112,8 +112,13 @@ class OMG:
                  face_embeddings: Sequence[Optional[np.ndarray]] = (),
                  face_kps_image: Optional[np.ndarray] = None,
                  masks: Optional[Sequence[Optional[np.ndarray]]] = None,
+                 fusion_start: Optional[int] = None,
                  ) -> GenerationResult:
         steps = num_steps or self.num_steps
+        if fusion_start is None:
+            # reference gate: i > 15 of 50 steps (lora_pipeline.py:568);
+            # scale the same 30% warmup fraction to other step counts.
+            fusion_start = round(steps * regions_lib.FUSION_START_STEP / 50)
         sched = schedulers.make_schedule(self.scheduler, steps)
         key = jax.random.PRNGKey(seed)
 
@@ -184,6 +189,7 @@ class OMG:
         lat1, cache = multiconcept.sample_stage1_cached(
             self.cfg, sched, self.params.unet, key=key, height=height,
             width=width, base_inputs=base_inputs,
+            fusion_start=fusion_start,
             base_controlnets=base_cns, cn_cfg=self.cn_cfg)
         img1 = self._decode(lat1)
 
@@ -209,7 +215,7 @@ class OMG:
                 self.cfg, sched, self.params.unet, cache,
                 base_inputs=base_inputs, controller=controller,
                 concept_inputs=concept_inputs, concept_loras=loras_final,
-                masks=mask_stack,
+                masks=mask_stack, fusion_start=fusion_start,
                 concept_ip_adapters=ip_adapters,
                 ip_scale=(instantid.ip_scale
                           if instantid is not None else 1.0),

@@ -1,0 +1,183 @@
+"""HTTP serving front-end (dependency-free).
+
+Role of the reference's gradio apps (reference: gradio_demo/app.py:292-567
+and app_instantID.py / app_generateOne.py): long-lived process holding
+the models, a character/style registry, per-request LoRA selection, and
+a web UI. This build serves over the stdlib http.server — a JSON API plus
+a minimal HTML form — because serving should not depend on a UI toolkit;
+the engine below it is identical.
+
+API:
+  GET  /            -> HTML form
+  GET  /registry    -> JSON of available characters/styles
+  POST /generate    -> JSON request:
+      {"prompt": str, "negative_prompt": str,
+       "character1"/"character2": registry names (or "prompt_rewrite"),
+       "style": name | "", "seed": int, "height": int, "width": int,
+       "guidance_scale": float, "steps": int}
+    response: {"image": base64 PNG, "stage1": base64 PNG, "seconds": float}
+
+Requests are processed serially by a single worker thread: TPU programs
+are latency-bound and the engine's compiled-program cache is keyed on
+shapes, so serial execution with bucketed resolutions maximizes
+throughput-per-chip (images/min/chip is the serving metric).
+"""
+
+from __future__ import annotations
+
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Optional
+
+import numpy as np
+
+from omg_tpu import lora as lora_lib
+from omg_tpu.serving import conditions
+from omg_tpu.serving.registry import Registry
+from omg_tpu.utils.profiling import METRICS, trace
+
+
+_FORM = """<!doctype html><title>OMG-TPU</title>
+<h2>OMG multi-concept generation (TPU)</h2>
+<form method=post action=/generate_form>
+Prompt:<br><input name=prompt size=100
+ value="Close-up photo of the cool man and beautiful woman as they discover
+ a mysterious island, smiling, 35mm photograph, 4k"><br>
+Character 1:<input name=character1> Character 2:<input name=character2>
+ Style:<input name=style><br>
+Seed:<input name=seed value=42> Steps:<input name=steps value=50>
+<input type=submit value=Generate></form>"""
+
+
+class OMGServer:
+    def __init__(self, engine, registry: Optional[Registry] = None):
+        self.engine = engine
+        self.registry = registry or Registry()
+        self.loras = self.registry.lora_cache(lora_lib.load_lora)
+        self._work: "queue.Queue" = queue.Queue()
+        self._worker = threading.Thread(target=self._run_worker, daemon=True)
+        self._worker.start()
+
+    # ------------------------------------------------------------- worker
+
+    def _run_worker(self):
+        while True:
+            job, done = self._work.get()
+            try:
+                done["result"] = self._generate(job)
+            except Exception as e:  # surfaced to the client as 500
+                done["error"] = str(e)
+            done["event"].set()
+
+    def submit(self, job: dict) -> dict:
+        done = {"event": threading.Event()}
+        self._work.put((job, done))
+        done["event"].wait()
+        if "error" in done:
+            raise RuntimeError(done["error"])
+        return done["result"]
+
+    # ----------------------------------------------------------- generate
+
+    def _lookup(self, name):
+        reg = self.registry
+        return (reg.characters_man.get(name)
+                or reg.characters_woman.get(name))
+
+    def _generate(self, job: dict) -> dict:
+        t0 = time.time()
+        prompt = job["prompt"]
+        neg = job.get("negative_prompt",
+                      "noisy, blurry, soft, deformed, ugly")
+        height = int(job.get("height", 1024))
+        width = int(job.get("width", 1024))
+        if min(height, width) >= 512:
+            # snap to the SDXL aspect buckets (bounds program cache size)
+            height, width = conditions.snap_resolution(height, width)
+
+        rewrite = job.get("prompt_rewrite", "")
+        concept_loras = []
+        if not rewrite:
+            parts = []
+            for key in ("character1", "character2"):
+                spec = self._lookup(job.get(key, ""))
+                if spec is not None:
+                    parts.append(f"[{spec.prompt}]-*-[{spec.negative_prompt}]")
+                    concept_loras.append(self.loras.get(spec.name))
+            rewrite = "|".join(parts)
+        style = self.loras.get(job.get("style", ""))
+
+        with trace("serve/generate"):
+            result = self.engine.generate(
+                prompt, negative_prompt=neg, prompt_rewrite=rewrite,
+                concept_loras=concept_loras, style_lora=style,
+                seed=int(job.get("seed", 42)), height=height, width=width,
+                guidance_scale=float(job.get("guidance_scale", 7.5)),
+                num_steps=int(job.get("steps", 0)) or None)
+        METRICS.count("images_generated")
+
+        def png_b64(arr):
+            import PIL.Image
+            buf = io.BytesIO()
+            PIL.Image.fromarray(arr).save(buf, "PNG")
+            return base64.b64encode(buf.getvalue()).decode()
+
+        return {
+            "image": png_b64(result.image),
+            "stage1": png_b64(result.stage1[1]),
+            "seconds": round(time.time() - t0, 3),
+            "height": height, "width": width,
+        }
+
+    # -------------------------------------------------------------- serve
+
+    def serve(self, host: str = "0.0.0.0", port: int = 7861):
+        server = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def _send(self, code, body, ctype="application/json"):
+                self.send_response(code)
+                self.send_header("Content-Type", ctype)
+                self.end_headers()
+                self.wfile.write(body if isinstance(body, bytes)
+                                 else body.encode())
+
+            def do_GET(self):
+                if self.path == "/":
+                    self._send(200, _FORM, "text/html")
+                elif self.path == "/registry":
+                    reg = server.registry
+                    self._send(200, json.dumps({
+                        "man": list(reg.characters_man),
+                        "woman": list(reg.characters_woman),
+                        "styles": list(reg.styles),
+                        "loaded_loras": list(server.loras),
+                    }))
+                elif self.path == "/metrics":
+                    self._send(200, json.dumps(METRICS.summary()))
+                else:
+                    self._send(404, "{}")
+
+            def do_POST(self):
+                n = int(self.headers.get("Content-Length", 0))
+                raw = self.rfile.read(n)
+                if self.path == "/generate":
+                    try:
+                        job = json.loads(raw or b"{}")
+                        self._send(200, json.dumps(server.submit(job)))
+                    except Exception as e:
+                        self._send(500, json.dumps({"error": str(e)}))
+                else:
+                    self._send(404, "{}")
+
+            def log_message(self, *a):
+                pass
+
+        httpd = ThreadingHTTPServer((host, port), Handler)
+        print(f"omg_tpu serving on http://{host}:{port}")
+        httpd.serve_forever()

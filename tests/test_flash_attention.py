@@ -1,0 +1,52 @@
+"""Flash-attention kernel vs the XLA reference path (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from omg_tpu.nn import attention
+from omg_tpu.ops import flash_attention as fa
+
+
+def _ref_sdpa(q, k, v):
+    scale = q.shape[-1] ** -0.5
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) * scale
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+
+@pytest.mark.parametrize("nq,nk", [(256, 256), (512, 512), (512, 256)])
+def test_flash_matches_reference(nq, nk):
+    ks = jax.random.split(jax.random.PRNGKey(0), 3)
+    b, h, d = 2, 2, 64
+    q = jax.random.normal(ks[0], (b, h, nq, d))
+    k = jax.random.normal(ks[1], (b, h, nk, d))
+    v = jax.random.normal(ks[2], (b, h, nk, d))
+    out = fa.flash_attention(q, k, v, bq=128, bk=128, interpret=True)
+    ref = _ref_sdpa(q, k, v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16_io():
+    ks = jax.random.split(jax.random.PRNGKey(1), 3)
+    q = jax.random.normal(ks[0], (1, 2, 256, 64), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (1, 2, 256, 64), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (1, 2, 256, 64), jnp.bfloat16)
+    out = fa.flash_attention(q, k, v, bq=128, bk=128, interpret=True)
+    assert out.dtype == jnp.bfloat16
+    ref = _ref_sdpa(q.astype(jnp.float32), k.astype(jnp.float32),
+                    v.astype(jnp.float32))
+    np.testing.assert_allclose(np.asarray(out, np.float32), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_routing_cpu_stays_on_xla():
+    """On the CPU backend use_flash is False — the sdpa path must not
+    try to launch the TPU kernel."""
+    assert not fa.use_flash(4096, 4096, 64)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 1, 64, 8))
+    out = attention.sdpa(q, q, q)
+    assert out.shape == q.shape

@@ -85,6 +85,63 @@ def test_generate_gating_skips_detection(engine):
     assert res.image.shape == (H, W, 3)
 
 
+def test_generate_instantid_path(engine):
+    """InstantID stack through OMG.generate: resampler face tokens, IP
+    dual attention in concept UNets, IdentityNet per-concept ControlNet."""
+    import jax.numpy as jnp
+    from omg_tpu import config as cfglib
+    from omg_tpu import instantid
+    from omg_tpu.models import controlnet as cn_lib
+    from omg_tpu.models import resampler as rs_lib
+    from omg_tpu.models import unet as unet_lib
+    from omg_tpu.nn.attention import init_ip_kv
+
+    eng, calls = engine
+    rs_cfg = cfglib.tiny_resampler()
+    rs_params = rs_lib.init_params(jax.random.PRNGKey(1), rs_cfg)
+    n_layers = unet_lib.num_cross_attention_layers(eng.cfg.unet)
+    ip_layers = [init_ip_kv(jax.random.PRNGKey(10 + i),
+                            eng.cfg.unet.cross_attention_dim, 64)
+                 for i in range(n_layers)]
+    cn_cfg = cfglib.tiny_controlnet()
+    idnet = cn_lib.init_params(jax.random.PRNGKey(2), cn_cfg)
+
+    iid = omg_lib.InstantIDModels(
+        resampler_cfg=rs_cfg, resampler_params=rs_params,
+        ip_adapter_layers=ip_layers, identitynet_params=idnet,
+        identitynet_cfg=cn_cfg)
+    eng2 = omg_lib.OMG(cfg=eng.cfg, params=eng.params,
+                       tokenizer=eng.tokenizer, tokenizer_2=eng.tokenizer_2,
+                       mask_provider=eng.mask_provider, num_steps=4,
+                       cn_cfg=cn_cfg)
+
+    kps = [np.array([[10, 12], [22, 12], [16, 18], [12, 24], [20, 24]],
+                    np.float32)]
+    kps_img = instantid.draw_kps(H, W, kps)
+    assert kps_img.shape == (H, W, 3) and kps_img.dtype == np.uint8
+    assert kps_img.max() > 0
+
+    embeds = [np.random.randn(16).astype(np.float32),
+              np.random.randn(16).astype(np.float32)]
+    res = eng2.generate(
+        "the man and the woman", negative_prompt="bad",
+        prompt_rewrite="[the man]-*-[bad]|[the woman]-*-[bad]",
+        seed=5, height=H, width=W, guidance_scale=3.0,
+        instantid=iid, face_embeddings=embeds, face_kps_image=kps_img)
+    assert res.stage2 is not None
+    assert res.image.shape == (H, W, 3)
+
+    # a different identity embedding must change the stage-2 output
+    embeds_b = [np.random.randn(16).astype(np.float32) + 2.0, embeds[1]]
+    res_b = eng2.generate(
+        "the man and the woman", negative_prompt="bad",
+        prompt_rewrite="[the man]-*-[bad]|[the woman]-*-[bad]",
+        seed=5, height=H, width=W, guidance_scale=3.0,
+        instantid=iid, face_embeddings=embeds_b, face_kps_image=kps_img)
+    assert not np.array_equal(res.stage2, res_b.stage2)
+    np.testing.assert_array_equal(res.stage1, res_b.stage1)
+
+
 def test_generate_deterministic(engine):
     eng, _ = engine
     kw = dict(prompt_rewrite="[the man]-*-[u]|[the woman]-*-[u]",

@@ -1,0 +1,116 @@
+"""Serving layer: registry, condition prep, HTTP server round-trip."""
+
+import json
+import threading
+import urllib.request
+
+import jax
+import numpy as np
+import pytest
+
+from omg_tpu.pipelines import omg as omg_lib
+from omg_tpu.pipelines import sdxl
+from omg_tpu.serving import conditions
+from omg_tpu.serving.registry import CharacterSpec, Registry, default_registry
+from omg_tpu.serving.server import OMGServer
+from omg_tpu.text.tokenizer import ToyTokenizer
+
+H = W = 32
+
+
+def test_snap_resolution():
+    assert conditions.snap_resolution(1024, 1024) == (1024, 1024)
+    assert conditions.snap_resolution(500, 1000) == (768, 1344)
+    assert conditions.snap_resolution(1000, 500) == (1344, 768)
+
+
+def test_resize_and_center_crop():
+    img = (np.random.rand(100, 60, 3) * 255).astype(np.uint8)
+    out = conditions.resize_and_center_crop(img, 64, 64)
+    assert out.shape == (64, 64, 3)
+
+
+def test_canny_condition():
+    img = np.zeros((64, 64, 3), np.uint8)
+    img[20:40, 20:40] = 255
+    cond = conditions.prepare_condition(img, "canny", 64, 64)
+    assert cond.shape == (64, 64, 3)
+    assert cond.max() == 255
+
+
+def test_registry_roundtrip(tmp_path):
+    reg = default_registry()
+    assert len(reg.characters_man) == 4
+    assert len(reg.characters_woman) == 4
+    assert len(reg.styles) == 3
+    data = {
+        "man": [{"name": "A", "prompt": "photo of A", "negative_prompt": "n",
+                 "path": "/nonexistent/a.safetensors"}],
+        "woman": [], "styles": [],
+    }
+    p = tmp_path / "reg.json"
+    p.write_text(json.dumps(data))
+    reg2 = Registry.from_json(str(p))
+    assert "A" in reg2.characters_man
+    assert reg2.lora_cache(lambda _: None) == {}  # missing files skipped
+
+
+@pytest.fixture(scope="module")
+def server():
+    cfg = sdxl.tiny_config()
+    params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+
+    def provider(image, cls):
+        m = np.zeros(image.shape[:2], np.float32)
+        m[:, : image.shape[1] // 2] = 1.0
+        return m
+
+    engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                         tokenizer_2=ToyTokenizer(), mask_provider=provider,
+                         num_steps=2)
+    reg = Registry()
+    reg.add_character("man", CharacterSpec(
+        "TestMan", "photo of the man", "ugly", "/nonexistent.safetensors"))
+    srv = OMGServer(engine, reg)
+    import http.server
+    import socket
+    sock = socket.socket()
+    sock.bind(("127.0.0.1", 0))
+    port = sock.getsockname()[1]
+    sock.close()
+    t = threading.Thread(target=srv.serve, args=("127.0.0.1", port),
+                         daemon=True)
+    t.start()
+    import time
+    time.sleep(0.5)
+    return f"http://127.0.0.1:{port}"
+
+
+def test_server_registry_endpoint(server):
+    with urllib.request.urlopen(server + "/registry") as r:
+        data = json.loads(r.read())
+    assert data["man"] == ["TestMan"]
+
+
+def test_server_generate(server):
+    job = {"prompt": "the man at the beach", "seed": 3,
+           "height": H, "width": W,
+           "prompt_rewrite": "[the man]-*-[ugly]"}
+    req = urllib.request.Request(server + "/generate",
+                                 data=json.dumps(job).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out = json.loads(r.read())
+    assert "image" in out and len(out["image"]) > 100
+    # sub-bucket test sizes pass through unsnapped
+    assert out["height"] == H and out["width"] == W
+
+
+def test_server_bad_request(server):
+    req = urllib.request.Request(server + "/generate", data=b"not json",
+                                 headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 500"
+    except urllib.error.HTTPError as e:
+        assert e.code == 500
