@@ -106,6 +106,55 @@ def main():
     m[1, :, W // 16:] = 1.0
     masks = jnp.asarray(m)
 
+    mode = os.environ.get("OMG_BENCH_MODE", "latency")
+
+    if mode == "throughput":
+        # Batched-request serving throughput: R independent generations
+        # (own seed per request) vmapped into one XLA program.
+        R = int(os.environ.get("OMG_BENCH_REQUESTS", "4"))
+        keys = jax.random.split(jax.random.PRNGKey(5), R)
+        lat0 = jax.vmap(lambda k: sdxl.prepare_latents(
+            k, 1, H, W, sched, cfg.unet.dtype))(keys)
+
+        two_stage = jax.jit(jax.vmap(
+            lambda l0: multiconcept.two_stage_latents(
+                cfg, sched, unet_params, l0, base, ctl,
+                (concept, concept), tuple(loras), masks)))
+        decode = jax.jit(jax.vmap(
+            lambda l: sdxl.decode_latents(cfg, vae_params, l)))
+
+        def run():
+            _, lat2 = two_stage(lat0)
+            img = decode(lat2)
+            img.block_until_ready()
+            return img
+
+        t0 = time.time()
+        run()
+        compile_s = time.time() - t0
+        times = []
+        for _ in range(reps):
+            t0 = time.time()
+            run()
+            times.append(time.time() - t0)
+        p50 = float(np.median(times))
+        ipm = 60.0 * R / p50
+        result = {
+            "metric": "omg_2concept_1024_50step_images_per_min_chip",
+            "value": round(ipm, 3),
+            "unit": "images/min/chip",
+            "vs_baseline": round(ipm / 12.0, 3),  # 12/min == 5 s/image
+            "extra": {
+                "requests": R, "batch_seconds": round(p50, 3),
+                "compile_s": round(compile_s, 1),
+                "size": size, "steps": steps,
+                "backend": jax.default_backend(),
+                "device": str(jax.devices()[0]),
+            },
+        }
+        print(json.dumps(result))
+        return
+
     def one_generation():
         lat1, cache = multiconcept.sample_stage1_cached(
             cfg, sched, unet_params, key=jax.random.PRNGKey(5),

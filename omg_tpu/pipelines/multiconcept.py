@@ -368,19 +368,163 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                       ip_scale_static: float = 1.0,
                       base_controlnets: tuple = (),
                       concept_controlnets: tuple = (), cn_cfg=None) -> Array:
-    """Full multiconcept (4-row) stage-2 loop over steps [i0, num_steps)."""
+    """Stage-2 loop over steps [i0, num_steps), fully lane-merged.
+
+    The base 4-row forward and the 2K concept-lane forward run as ONE
+    b=4+2K UNet call: every per-lane mechanism (LoRA deltas with zero
+    rows for base lanes, IP context with zero tokens for base lanes,
+    P2P control addressing absolute lanes 2/3, per-lane ControlNet
+    residuals) composes batch-wise, so this is numerically the
+    sequential semantics with one dispatch and larger matmuls.
+    """
+    K = len(concept_inputs)
+    if K == 0:
+        def body0(i, carry):
+            x, st = carry
+            return multiconcept_step(
+                cfg, sched, unet_params, x, st, i, base_inputs, controller,
+                (), (), masks, jnp.bool_(True),
+                fusion_start=fusion_start,
+                base_controlnets=base_controlnets, cn_cfg=cn_cfg)
+        x, _ = jax.lax.fori_loop(i0, sched.num_steps, body0,
+                                 (latents, state))
+        return x
+
+    from omg_tpu import lora as lora_lib
+    embeds = jnp.concatenate(
+        [base_inputs.prompt_embeds]
+        + [ci.prompt_embeds for ci in concept_inputs])
+    tembeds = jnp.concatenate(
+        [base_inputs.text_embeds]
+        + [ci.text_embeds for ci in concept_inputs])
+    tids = jnp.concatenate(
+        [base_inputs.time_ids] + [ci.time_ids for ci in concept_inputs])
+    # Per-lane LoRA: 4 zero base lanes + each concept's CFG pair.
+    lane_lora = lora_lib.stack_loras(
+        [None, None] + [
+            (concept_loras[k].get("unet", concept_loras[k])
+             if concept_loras[k] is not None else None)
+            for k in range(K)], repeat=2)
+    ip_ctx = None
+    if any(ci.ip_context is not None for ci in concept_inputs):
+        zeros_ip = None
+        parts = []
+        for ci in concept_inputs:
+            if ci.ip_context is not None:
+                zeros_ip = jnp.zeros_like(ci.ip_context)
+                break
+        parts = [jnp.zeros((4,) + zeros_ip.shape[1:], zeros_ip.dtype)]
+        for ci in concept_inputs:
+            parts.append(ci.ip_context if ci.ip_context is not None
+                         else zeros_ip)
+        ip_ctx = jnp.concatenate(parts)
+    ipk = concept_ip_adapters[0] if concept_ip_adapters else None
+
     def body(i, carry):
-        x, st = carry
-        return multiconcept_step(
-            cfg, sched, unet_params, x, st, i, base_inputs, controller,
-            concept_inputs, concept_loras, masks, jnp.bool_(True),
-            concept_ip_adapters=concept_ip_adapters,
-            fusion_start=fusion_start, ip_scale_static=ip_scale_static,
-            base_controlnets=base_controlnets,
-            concept_controlnets=concept_controlnets, cn_cfg=cn_cfg)
+        x, st = carry                        # [2, h, w, 4]
+        t = sched.timesteps[i]
+        lin4 = jnp.concatenate([x, x])
+        lin4 = schedulers.scale_model_input(sched, lin4, i)
+        lanes = jnp.concatenate([
+            lin4, jnp.broadcast_to(lin4[3:4], (2 * K,) + lin4.shape[1:])])
+
+        down_res = mid_res = None
+        if base_controlnets or any(c is not None
+                                   for c in concept_controlnets):
+            b_down = b_mid = None
+            if base_controlnets:
+                b_down, b_mid = _controlnet_residuals(
+                    base_controlnets, cn_cfg, lin4, t,
+                    base_inputs.prompt_embeds, base_inputs.text_embeds,
+                    base_inputs.time_ids)
+            c_down = c_mid = None
+            live = [cn for cn in concept_controlnets if cn is not None]
+            if live:
+                rl = lanes[4:]
+                cond = jnp.concatenate([
+                    jnp.broadcast_to(cn.cond_image,
+                                     (2,) + cn.cond_image.shape[1:])
+                    for cn in live])
+                ehs_cn = jnp.concatenate([
+                    cn.encoder_hidden_states
+                    if cn.encoder_hidden_states is not None
+                    else concept_inputs[ki].prompt_embeds
+                    for ki, cn in enumerate(concept_controlnets)
+                    if cn is not None])
+                merged = ControlNetInputs(
+                    params=live[0].params, cond_image=cond,
+                    scale=live[0].scale, encoder_hidden_states=ehs_cn)
+                c_down, c_mid = _controlnet_residuals(
+                    (merged,), cn_cfg, rl, t, embeds[4:], tembeds[4:],
+                    tids[4:])
+            # pad each side's residuals with zeros for the other's lanes
+            if b_down is None and c_down is not None:
+                b_down = [jnp.zeros((4,) + r.shape[1:], r.dtype)
+                          for r in c_down]
+                b_mid = jnp.zeros((4,) + c_mid.shape[1:], c_mid.dtype)
+            if c_down is None and b_down is not None:
+                c_down = [jnp.zeros((2 * K,) + r.shape[1:], r.dtype)
+                          for r in b_down]
+                c_mid = jnp.zeros((2 * K,) + b_mid.shape[1:], b_mid.dtype)
+            if b_down is not None:
+                down_res = [jnp.concatenate([b, c])
+                            for b, c in zip(b_down, c_down)]
+                mid_res = jnp.concatenate([b_mid, c_mid])
+
+        ctrl = controller.at_step(i) if controller is not None else None
+        eps_all = unet.apply(
+            unet_params, cfg.unet, lanes, t, embeds,
+            text_embeds=tembeds, time_ids=tids,
+            lora=lane_lora, control=ctrl,
+            ip_adapter=ipk, ip_context=ip_ctx,
+            ip_scale=ip_scale_static,
+            down_block_residuals=down_res, mid_block_residual=mid_res)
+
+        eps = eps_all[:4]
+        region_preds = eps_all[4:].reshape((K, 2) + lanes.shape[1:])
+        active = jnp.asarray(i > fusion_start)
+        eps = regions.fuse_region_noise(
+            eps, region_preds, masks.astype(eps.dtype), active=active)
+        guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
+        return schedulers.step(sched, st, guided, i, x)
 
     x, _ = jax.lax.fori_loop(i0, sched.num_steps, body, (latents, state))
     return x
+
+
+def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                      unet_params: dict, latents0: Array,
+                      base_inputs: BaseInputs, controller, concept_inputs,
+                      concept_loras, masks, *,
+                      fusion_start: int = regions.FUSION_START_STEP,
+                      concept_ip_adapters: tuple = (),
+                      ip_scale_static: float = 1.0) -> tuple:
+    """Pure both-stages computation (no host sync between stages).
+
+    For throughput serving / benchmarking where masks are provided
+    up-front: vmap this over a request axis to batch R independent
+    generations into one XLA program (lane count scales with R).
+    Returns (stage1 latents [2, ...], stage2 latents [2, ...]).
+    """
+    state = schedulers.init_state(sched, latents0.shape)
+    boundary = min(fusion_start + 1, sched.num_steps)
+    lat_b, st_b = _denoise_cfg_range.__wrapped__(
+        cfg, sched, unet_params, latents0, state, base_inputs,
+        i0=0, i1=boundary)
+    lat1, _ = _denoise_cfg_range.__wrapped__(
+        cfg, sched, unet_params, lat_b, st_b, base_inputs,
+        i0=boundary, i1=sched.num_steps)
+    st4 = schedulers.SchedulerState(
+        prev_model_output=jnp.concatenate(
+            [st_b.prev_model_output, st_b.prev_model_output]),
+        step_count=st_b.step_count)
+    lat2 = _denoise_mc_range.__wrapped__(
+        cfg, sched, unet_params, duplicate_latents(lat_b), st4,
+        base_inputs, controller, concept_inputs, concept_loras, masks,
+        i0=boundary, fusion_start=fusion_start,
+        concept_ip_adapters=concept_ip_adapters,
+        ip_scale_static=ip_scale_static)
+    return duplicate_latents(lat1), lat2
 
 
 def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,

@@ -143,6 +143,40 @@ def test_fast_path_matches_reference_path(setup):
                                atol=2e-4)
 
 
+def test_two_stage_pure_matches_host_path(setup):
+    """two_stage_latents (pure, vmappable) == the host-orchestrated
+    stage1_cached + stage2_resumed path."""
+    cfg, params, sched, base, concept, ctl = setup
+    key = jax.random.PRNGKey(23)
+    masks = _masks()
+    from omg_tpu.pipelines import sdxl as sdxl_mod
+    lat0 = sdxl_mod.prepare_latents(key, 1, H, W, sched, cfg.unet.dtype)
+    s1p, s2p = multiconcept.two_stage_latents(
+        cfg, sched, params, lat0, base, ctl, (concept, concept),
+        (None, None), masks, fusion_start=2)
+
+    s1h, cache = multiconcept.sample_stage1_cached(
+        cfg, sched, params, key=key, height=H, width=W, base_inputs=base,
+        fusion_start=2)
+    s2h = multiconcept.sample_stage2_resumed(
+        cfg, sched, params, cache, base_inputs=base, controller=ctl,
+        concept_inputs=[concept, concept], concept_loras=[None, None],
+        masks=masks, fusion_start=2)
+    np.testing.assert_allclose(np.asarray(s1p), np.asarray(s1h), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s2p), np.asarray(s2h), atol=1e-5)
+
+    # vmapped over a request axis: each request independent
+    lat0r = jnp.stack([lat0, lat0 * 0.5])
+    f = jax.jit(jax.vmap(lambda l: multiconcept.two_stage_latents(
+        cfg, sched, params, l, base, ctl, (concept, concept),
+        (None, None), masks, fusion_start=2)))
+    s1r, s2r = f(lat0r)
+    assert s1r.shape == (2, 2, H // 8, W // 8, 4)
+    np.testing.assert_allclose(np.asarray(s1r[0]), np.asarray(s1p),
+                               atol=1e-4)
+    assert not np.allclose(np.asarray(s1r[1]), np.asarray(s1r[0]))
+
+
 def test_same_seed_reproducible(setup):
     cfg, params, sched, base, concept, ctl = setup
     kwargs = dict(cfg=cfg, sched=sched, unet_params=params,
