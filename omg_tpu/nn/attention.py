@@ -134,9 +134,53 @@ def mha(p: Params, x: Array, *, num_heads: int,
     def la(name):
         return None if lora is None else lora.get(name)
 
-    q = layers.linear(p["to_q"], x, la("to_q"))
-    k = layers.linear(p["to_k"], ctx, la("to_k"))
-    v = layers.linear(p["to_v"], ctx, la("to_v"))
+    def lora_delta(name, inp):
+        d = la(name)
+        if d is None:
+            return None
+        down = d["down"].astype(inp.dtype)
+        up = d["up"].astype(inp.dtype)
+        scale = d["scale"].astype(inp.dtype)
+        if down.ndim == 3:   # per-lane (see layers.linear)
+            delta = jnp.matmul(jnp.matmul(inp, down), up)
+            scale = scale.reshape((-1,) + (1,) * (inp.ndim - 1))
+        else:
+            delta = jnp.dot(jnp.dot(inp, down), up)
+        return delta * scale
+
+    no_bias = ("bias" not in p["to_q"] and "bias" not in p["to_k"]
+               and "bias" not in p["to_v"])
+    if no_bias and not is_cross:
+        # fused qkv: one [C, 3*inner] gemm (same input for q/k/v)
+        w = jnp.concatenate([p["to_q"]["weight"], p["to_k"]["weight"],
+                             p["to_v"]["weight"]], axis=1)
+        q, k, v = jnp.split(jnp.dot(x, w), 3, axis=-1)
+        for name, ref in (("to_q", 0), ("to_k", 1), ("to_v", 2)):
+            d = lora_delta(name, x)
+            if d is not None:
+                if ref == 0:
+                    q = q + d
+                elif ref == 1:
+                    k = k + d
+                else:
+                    v = v + d
+    elif no_bias and is_cross:
+        # fused kv over the context
+        q = layers.linear(p["to_q"], x, la("to_q"))
+        w = jnp.concatenate([p["to_k"]["weight"], p["to_v"]["weight"]],
+                            axis=1)
+        k, v = jnp.split(jnp.dot(ctx, w), 2, axis=-1)
+        for name, is_k in (("to_k", True), ("to_v", False)):
+            d = lora_delta(name, ctx)
+            if d is not None:
+                if is_k:
+                    k = k + d
+                else:
+                    v = v + d
+    else:
+        q = layers.linear(p["to_q"], x, la("to_q"))
+        k = layers.linear(p["to_k"], ctx, la("to_k"))
+        v = layers.linear(p["to_v"], ctx, la("to_v"))
 
     qh = _split_heads(q, num_heads)
     kh = _split_heads(k, num_heads)

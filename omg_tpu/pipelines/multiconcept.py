@@ -357,7 +357,7 @@ def _denoise_cfg_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "i0", "fusion_start", "ip_scale_static",
-                     "cn_cfg"))
+                     "cn_cfg", "lane_sharding"))
 def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                       unet_params: dict, latents: Array,
                       state: schedulers.SchedulerState,
@@ -367,7 +367,8 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                       fusion_start: int = regions.FUSION_START_STEP,
                       ip_scale_static: float = 1.0,
                       base_controlnets: tuple = (),
-                      concept_controlnets: tuple = (), cn_cfg=None) -> Array:
+                      concept_controlnets: tuple = (), cn_cfg=None,
+                      lane_sharding=None) -> Array:
     """Stage-2 loop over steps [i0, num_steps), fully lane-merged.
 
     The base 4-row forward and the 2K concept-lane forward run as ONE
@@ -427,6 +428,13 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         lin4 = schedulers.scale_model_input(sched, lin4, i)
         lanes = jnp.concatenate([
             lin4, jnp.broadcast_to(lin4[3:4], (2 * K,) + lin4.shape[1:])])
+        if lane_sharding is not None:
+            # Multi-chip latency mode: the 4+2K lanes are independent
+            # through the whole UNet forward (the one cross-lane op, the
+            # P2P output rewrite, touches 128 KB rows) — shard the lane
+            # axis across chips and let GSPMD keep every conv/attention
+            # local, with tiny row gathers at the P2P/fusion points.
+            lanes = jax.lax.with_sharding_constraint(lanes, lane_sharding)
 
         down_res = mid_res = None
         if base_controlnets or any(c is not None
@@ -559,8 +567,14 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                           ip_scale: float = 1.0,
                           base_controlnets: Sequence = (),
                           concept_controlnets: Sequence = (),
-                          cn_cfg=None) -> Array:
-    """Stage 2 resumed from the cached pre-fusion boundary -> [2, h, w, 4]."""
+                          cn_cfg=None, lane_sharding=None) -> Array:
+    """Stage 2 resumed from the cached pre-fusion boundary -> [2, h, w, 4].
+
+    ``lane_sharding`` (a NamedSharding over the lane axis) distributes
+    the 4+2K lanes across chips for multi-chip latency scaling. (The
+    Pallas flash kernel is bypassed under lane sharding on CPU dry runs;
+    on real multi-chip TPU wrap with shard_map — future work.)
+    """
     boundary = min(fusion_start + 1, sched.num_steps)
     lat4 = duplicate_latents(cache.latents)
     st = cache.sched_state
@@ -575,7 +589,8 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         concept_ip_adapters=tuple(concept_ip_adapters),
         ip_scale_static=ip_scale,
         base_controlnets=tuple(base_controlnets),
-        concept_controlnets=tuple(concept_controlnets), cn_cfg=cn_cfg)
+        concept_controlnets=tuple(concept_controlnets), cn_cfg=cn_cfg,
+        lane_sharding=lane_sharding)
 
 
 def sample_stage(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
