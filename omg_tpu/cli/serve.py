@@ -20,6 +20,10 @@ def main():
     p.add_argument("--host", default="0.0.0.0")
     p.add_argument("--port", default=7861, type=int)
     p.add_argument("--num_steps", default=50, type=int)
+    p.add_argument("--face_adapter_path", default="",
+                   help="InstantID ip-adapter.bin (enables identity serving)")
+    p.add_argument("--identitynet_path", default="",
+                   help="InstantID IdentityNet ControlNet dir")
     args = p.parse_args()
 
     from omg_tpu import loader
@@ -36,7 +40,24 @@ def main():
                          num_steps=args.num_steps)
     registry = (Registry.from_json(args.registry) if args.registry
                 else default_registry())
-    OMGServer(engine, registry).serve(args.host, args.port)
+
+    iid = None
+    if args.face_adapter_path:
+        from omg_tpu import config as cfglib
+        from omg_tpu import convert
+        adapter = convert.convert_ip_adapter(args.face_adapter_path)
+        idnet_cfg = idnet_params = None
+        if args.identitynet_path:
+            idnet_cfg, idnet_params = loader.load_controlnet(
+                args.identitynet_path)
+            engine.cn_cfg = idnet_cfg
+        iid = omg_lib.InstantIDModels(
+            resampler_cfg=cfglib.instantid_resampler(),
+            resampler_params=adapter["image_proj"],
+            ip_adapter_layers=adapter["ip_adapter"],
+            identitynet_params=idnet_params, identitynet_cfg=idnet_cfg)
+
+    OMGServer(engine, registry, instantid=iid).serve(args.host, args.port)
 
 
 if __name__ == "__main__":

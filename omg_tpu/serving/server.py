@@ -55,8 +55,15 @@ Seed:<input name=seed value=42> Steps:<input name=steps value=50>
 
 
 class OMGServer:
-    def __init__(self, engine, registry: Optional[Registry] = None):
+    def __init__(self, engine, registry: Optional[Registry] = None,
+                 instantid=None):
+        """``instantid``: optional pipelines.omg.InstantIDModels — enables
+        the OMG+InstantID serving path (role of app_instantID.py):
+        requests carry per-concept ``face_embeddings`` (512-d lists) and
+        optional ``face_kps`` ([[5,2]] per face) for the IdentityNet
+        condition image."""
         self.engine = engine
+        self.instantid = instantid
         self.registry = registry or Registry()
         self.loras = self.registry.lora_cache(lora_lib.load_lora)
         self._work: "queue.Queue" = queue.Queue()
@@ -112,13 +119,27 @@ class OMGServer:
             rewrite = "|".join(parts)
         style = self.loras.get(job.get("style", ""))
 
+        iid_kwargs = {}
+        if self.instantid is not None and job.get("face_embeddings"):
+            from omg_tpu import instantid as iid_lib
+            embeds = [np.asarray(e, np.float32) if e is not None else None
+                      for e in job["face_embeddings"]]
+            kps_img = None
+            if job.get("face_kps"):
+                kps = [np.asarray(k, np.float32) for k in job["face_kps"]]
+                kps_img = iid_lib.draw_kps(height, width, kps)
+            iid_kwargs = dict(instantid=self.instantid,
+                              face_embeddings=embeds,
+                              face_kps_image=kps_img)
+
         with trace("serve/generate"):
             result = self.engine.generate(
                 prompt, negative_prompt=neg, prompt_rewrite=rewrite,
                 concept_loras=concept_loras, style_lora=style,
                 seed=int(job.get("seed", 42)), height=height, width=width,
                 guidance_scale=float(job.get("guidance_scale", 7.5)),
-                num_steps=int(job.get("steps", 0)) or None)
+                num_steps=int(job.get("steps", 0)) or None,
+                **iid_kwargs)
         METRICS.count("images_generated")
 
         def png_b64(arr):

@@ -106,6 +106,41 @@ def test_server_generate(server):
     assert out["height"] == H and out["width"] == W
 
 
+def test_server_instantid_job():
+    """InstantID serving path: face embeddings + kps through submit()."""
+    from omg_tpu import config as cfglib
+    from omg_tpu.models import resampler as rs_lib
+    from omg_tpu.models import unet as unet_lib
+    from omg_tpu.nn.attention import init_ip_kv
+
+    cfg = sdxl.tiny_config()
+    params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+
+    def provider(image, cls):
+        m = np.zeros(image.shape[:2], np.float32)
+        m[:, : image.shape[1] // 2] = 1.0
+        return m
+
+    engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                         tokenizer_2=ToyTokenizer(), mask_provider=provider,
+                         num_steps=2)
+    rs_cfg = cfglib.tiny_resampler()
+    iid = omg_lib.InstantIDModels(
+        resampler_cfg=rs_cfg,
+        resampler_params=rs_lib.init_params(jax.random.PRNGKey(1), rs_cfg),
+        ip_adapter_layers=[
+            init_ip_kv(jax.random.PRNGKey(10 + i),
+                       cfg.unet.cross_attention_dim, 64)
+            for i in range(unet_lib.num_cross_attention_layers(cfg.unet))])
+    srv = OMGServer(engine, Registry(), instantid=iid)
+    job = {"prompt": "the man here", "seed": 2, "height": H, "width": W,
+           "prompt_rewrite": "[the man]-*-[bad]",
+           "face_embeddings": [list(np.random.randn(16).astype(float))],
+           "face_kps": [[[8, 8], [24, 8], [16, 14], [10, 22], [22, 22]]]}
+    out = srv.submit(job)
+    assert len(out["image"]) > 100
+
+
 def test_server_bad_request(server):
     req = urllib.request.Request(server + "/generate", data=b"not json",
                                  headers={"Content-Type": "application/json"})
