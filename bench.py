@@ -116,16 +116,20 @@ def main():
         lat0 = jax.vmap(lambda k: sdxl.prepare_latents(
             k, 1, H, W, sched, cfg.unet.dtype))(keys)
 
+        # params must be jit ARGUMENTS: a closure would capture the 5 GB
+        # weight pytree as baked-in constants (and break remote compile).
         two_stage = jax.jit(jax.vmap(
-            lambda l0: multiconcept.two_stage_latents(
-                cfg, sched, unet_params, l0, base, ctl,
-                (concept, concept), tuple(loras), masks)))
+            lambda up, l0: multiconcept.two_stage_latents(
+                cfg, sched, up, l0, base, ctl,
+                (concept, concept), tuple(loras), masks),
+            in_axes=(None, 0)))
         decode = jax.jit(jax.vmap(
-            lambda l: sdxl.decode_latents(cfg, vae_params, l)))
+            lambda vp, l: sdxl.decode_latents.__wrapped__(cfg, vp, l),
+            in_axes=(None, 0)))
 
         def run():
-            _, lat2 = two_stage(lat0)
-            img = decode(lat2)
+            _, lat2 = two_stage(unet_params, lat0)
+            img = decode(vae_params, lat2)
             img.block_until_ready()
             return img
 

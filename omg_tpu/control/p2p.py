@@ -30,7 +30,7 @@ p2p_attention.py:34) and only copy B (``attn[1:]``, :129-137):
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

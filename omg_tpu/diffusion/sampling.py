@@ -10,7 +10,7 @@ stage 1 and stage 2 share a single compilation (SURVEY.md §7).
 
 from __future__ import annotations
 
-from typing import Callable, Optional
+from typing import Callable
 
 import jax
 import jax.numpy as jnp

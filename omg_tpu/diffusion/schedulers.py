@@ -16,7 +16,6 @@ sampler.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax

@@ -11,7 +11,7 @@ condition image, the decoupled IP attention) is TPU-resident.
 from __future__ import annotations
 
 import math
-from typing import Optional, Protocol, Sequence
+from typing import Protocol, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -92,6 +92,50 @@ class FaceEmbedder(Protocol):
 
     def __call__(self, image: np.ndarray) -> Sequence[tuple]:
         ...
+
+
+def face_region_box(kps: np.ndarray, image_hw: tuple,
+                    expand: float = 1.6, body_factor: float = 4.0
+                    ) -> np.ndarray:
+    """Person-region box [x0, y0, x1, y1] from 5-point face keypoints.
+
+    Detector-free region prior for the InstantID path: the face span is
+    widened ``expand``x horizontally and extended ``body_factor`` face
+    heights downward (a standing/sitting torso heuristic), clipped to
+    the image. Used to prompt SAM when no open-vocab detector is
+    plugged in (the reference requires YOLO-World/GroundingDINO pip
+    models for this step, inference_lora.py:91-126).
+    """
+    kps = np.asarray(kps, np.float32)
+    h, w = image_hw
+    x0, y0 = kps[:, 0].min(), kps[:, 1].min()
+    x1, y1 = kps[:, 0].max(), kps[:, 1].max()
+    cx = (x0 + x1) / 2
+    face_w = max(x1 - x0, 1.0)
+    face_h = max(y1 - y0, 1.0)
+    half_w = face_w * expand
+    top = y0 - face_h * 1.0
+    bottom = y1 + face_h * body_factor
+    return np.array([max(0.0, cx - half_w), max(0.0, top),
+                     min(float(w), cx + half_w), min(float(h), bottom)],
+                    np.float32)
+
+
+def make_kps_box_provider(faces_kps):
+    """box_provider(image, text) -> region box cycling through the
+    per-concept face keypoints (concept order == rewrite region order)."""
+    state = {"i": 0}
+
+    def provider(image, text):
+        if not faces_kps:
+            return None
+        kps = faces_kps[state["i"] % len(faces_kps)]
+        state["i"] += 1
+        if kps is None:
+            return None
+        return face_region_box(kps, image.shape[:2])
+
+    return provider
 
 
 def encode_face_tokens(params: dict, cfg: ResamplerConfig,

@@ -11,7 +11,7 @@ from __future__ import annotations
 import glob
 import json
 import os
-from typing import Any, Optional
+from typing import Any
 
 import jax.numpy as jnp
 

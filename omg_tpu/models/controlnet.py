@@ -16,12 +16,12 @@ consumed by ``unet.apply(down_block_residuals=..., mid_block_residual=...)``.
 
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp
 
-from omg_tpu.config import ControlNetConfig, UNetConfig
+from omg_tpu.config import ControlNetConfig
 from omg_tpu.models import unet as unet_lib
 from omg_tpu.nn import layers
 

@@ -15,8 +15,6 @@ convert.convert_ip_adapter maps keys mechanically.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 

@@ -14,8 +14,6 @@ heads. Param names mirror the torch state dict (``prompt_encoder.*``,
 from __future__ import annotations
 
 import math
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 

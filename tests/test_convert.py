@@ -140,6 +140,15 @@ def test_vae_roundtrip():
     _assert_tree_equal(tree, back)
 
 
+def test_controlnet_roundtrip():
+    from omg_tpu.models import controlnet as cn_lib
+    cfg = cfglib.tiny_controlnet()
+    tree = cn_lib.init_params(jax.random.PRNGKey(0), cfg)
+    sd = _emit_torch_sd(tree)
+    back = convert.convert_controlnet(sd, dtype=jnp.float32)
+    _assert_tree_equal(tree, back)
+
+
 def test_ip_adapter_bin_layout():
     """InstantID .bin split: image_proj + per-layer to_k_ip/to_v_ip."""
     rng = np.random.default_rng(0)
