@@ -123,9 +123,10 @@ def main():
                 cfg, sched, up, l0, base, ctl,
                 (concept, concept), tuple(loras), masks),
             in_axes=(None, 0)))
-        decode = jax.jit(jax.vmap(
-            lambda vp, l: sdxl.decode_latents.__wrapped__(cfg, vp, l),
-            in_axes=(None, 0)))
+        # decode only copy B (the deliverable) of each request — fp32 VAE
+        # activations at 1024² are the HBM peak, so keep decode b == R.
+        decode = jax.jit(lambda vp, l: sdxl.decode_latents.__wrapped__(
+            cfg, vp, l[:, 1]))
 
         def run():
             _, lat2 = two_stage(unet_params, lat0)

@@ -27,8 +27,9 @@ Array = jax.Array
 EULER = 0
 DDIM = 1
 DPMPP_2M = 2
+LCM = 3
 
-_KINDS = {"euler": EULER, "ddim": DDIM, "dpmpp_2m": DPMPP_2M}
+_KINDS = {"euler": EULER, "ddim": DDIM, "dpmpp_2m": DPMPP_2M, "lcm": LCM}
 
 
 class Schedule(NamedTuple):
@@ -58,9 +59,10 @@ jax.tree_util.register_pytree_node(Schedule, _sched_flatten, _sched_unflatten)
 
 
 class SchedulerState(NamedTuple):
-    """Uniform carry for multistep methods (unused slots stay zero)."""
+    """Uniform carry for multistep/stochastic methods (unused slots zero)."""
     prev_model_output: Array  # DPM++2M: previous converted x0 prediction
     step_count: Array         # scalar int32
+    key: Array                # PRNG key (LCM re-noising); zeros if unused
 
 
 def betas_scaled_linear(num_train_timesteps: int = 1000,
@@ -74,11 +76,20 @@ def betas_scaled_linear(num_train_timesteps: int = 1000,
 def make_schedule(kind: str, num_steps: int, *,
                   num_train_timesteps: int = 1000,
                   timestep_spacing: str = "leading",
-                  steps_offset: int = 1) -> Schedule:
+                  steps_offset: int = 1,
+                  lcm_origin_steps: int = 50) -> Schedule:
     betas = betas_scaled_linear(num_train_timesteps)
     alphas_cumprod = np.cumprod(1.0 - betas)
 
-    if timestep_spacing == "leading":
+    if _KINDS[kind] == LCM:
+        # LCM consistency sampling (LCM-LoRA few-step mode): pick
+        # num_steps evenly from the distillation's origin grid of
+        # lcm_origin_steps timesteps.
+        k = num_train_timesteps // lcm_origin_steps
+        origin = (np.arange(1, lcm_origin_steps + 1) * k - 1)[::-1]
+        idx = np.linspace(0, len(origin) - 1, num_steps).round().astype(int)
+        timesteps = origin[idx].astype(np.float64)
+    elif timestep_spacing == "leading":
         ratio = num_train_timesteps // num_steps
         timesteps = (np.arange(num_steps) * ratio + steps_offset)[::-1].copy()
     elif timestep_spacing == "trailing":
@@ -112,10 +123,14 @@ def make_schedule(kind: str, num_steps: int, *,
     )
 
 
-def init_state(sched: Schedule, latents_shape: tuple) -> SchedulerState:
+def init_state(sched: Schedule, latents_shape: tuple,
+               key: "Array | None" = None) -> SchedulerState:
+    if key is None:
+        key = jax.random.PRNGKey(0)
     return SchedulerState(
         prev_model_output=jnp.zeros(latents_shape, jnp.float32),
         step_count=jnp.zeros((), jnp.int32),
+        key=key,
     )
 
 
@@ -181,19 +196,55 @@ def _dpmpp_2m_step(sched: Schedule, state: SchedulerState, eps: Array,
     out = ratio * xf - jnp.expm1(-h) * d
     out = jnp.where(sigma_next == 0.0, x0, out)
     new_state = SchedulerState(prev_model_output=x0,
-                               step_count=state.step_count + 1)
+                               step_count=state.step_count + 1,
+                               key=state.key)
     return out.astype(x.dtype), new_state
+
+
+def _lcm_step(sched: Schedule, state: SchedulerState, eps: Array,
+              i: Array, x: Array) -> tuple[Array, SchedulerState]:
+    """Latent Consistency Model sampling step (for LCM-LoRA'd SDXL).
+
+    Published LCM boundary-condition sampling: predict x0, blend with the
+    consistency scalings (sigma_data=0.5, timestep_scaling=10), then
+    re-noise to the next grid point with FRESH noise (not the eps
+    prediction). Deterministic given the state key.
+    """
+    t = sched.timesteps[i]
+    t_next = sched.timesteps[jnp.minimum(i + 1, sched.num_steps - 1)]
+    a_t = sched.alphas_cumprod[t]
+    a_next = sched.alphas_cumprod[t_next]
+    xf, ef = x.astype(jnp.float32), eps.astype(jnp.float32)
+
+    x0 = (xf - jnp.sqrt(1.0 - a_t) * ef) / jnp.sqrt(a_t)
+    scaled = t.astype(jnp.float32) / 10.0
+    sigma_data2 = 0.5 ** 2
+    c_skip = sigma_data2 / (scaled ** 2 + sigma_data2)
+    c_out = scaled / jnp.sqrt(scaled ** 2 + sigma_data2)
+    denoised = c_out * x0 + c_skip * xf
+
+    noise = jax.random.normal(jax.random.fold_in(state.key, i),
+                              x.shape, jnp.float32)
+    renoised = jnp.sqrt(a_next) * denoised + jnp.sqrt(1.0 - a_next) * noise
+    last = i == sched.num_steps - 1
+    out = jnp.where(last, denoised, renoised)
+    return out.astype(x.dtype), SchedulerState(
+        state.prev_model_output, state.step_count + 1, state.key)
 
 
 def step(sched: Schedule, state: SchedulerState, eps: Array, i: Array,
          x: Array) -> tuple[Array, SchedulerState]:
     """One scheduler update. eps is the epsilon (noise) prediction."""
+    if sched.kind == LCM:
+        return _lcm_step(sched, state, eps, i, x)
     if sched.kind == EULER:
         nxt = _euler_step(sched, eps, i, x)
-        return nxt, SchedulerState(state.prev_model_output, state.step_count + 1)
+        return nxt, SchedulerState(state.prev_model_output,
+                                   state.step_count + 1, state.key)
     if sched.kind == DDIM:
         nxt = _ddim_step(sched, eps, i, x)
-        return nxt, SchedulerState(state.prev_model_output, state.step_count + 1)
+        return nxt, SchedulerState(state.prev_model_output,
+                                   state.step_count + 1, state.key)
     if sched.kind == DPMPP_2M:
         return _dpmpp_2m_step(sched, state, eps, i, x)
     raise ValueError(f"unknown schedule kind {sched.kind}")

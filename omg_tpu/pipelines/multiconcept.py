@@ -525,7 +525,7 @@ def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     st4 = schedulers.SchedulerState(
         prev_model_output=jnp.concatenate(
             [st_b.prev_model_output, st_b.prev_model_output]),
-        step_count=st_b.step_count)
+        step_count=st_b.step_count, key=st_b.key)
     lat2 = _denoise_mc_range.__wrapped__(
         cfg, sched, unet_params, duplicate_latents(lat_b), st4,
         base_inputs, controller, concept_inputs, concept_loras, masks,
@@ -543,7 +543,9 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                          cn_cfg=None) -> tuple:
     """Stage 1 via the dedup fast path -> ([2, h, w, 4] latents, StageCache)."""
     lat = sdxl.prepare_latents(key, 1, height, width, sched, cfg.unet.dtype)
-    state = schedulers.init_state(sched, lat.shape)
+    # stochastic schedulers (LCM re-noising) draw from a seed-derived key
+    state = schedulers.init_state(sched, lat.shape,
+                                  key=jax.random.fold_in(key, 777))
     boundary = min(fusion_start + 1, sched.num_steps)
     lat_b, st_b = _denoise_cfg_range(
         cfg, sched, unet_params, lat, state, base_inputs,
@@ -581,7 +583,7 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     state4 = schedulers.SchedulerState(
         prev_model_output=jnp.concatenate(
             [st.prev_model_output, st.prev_model_output]),
-        step_count=st.step_count)
+        step_count=st.step_count, key=st.key)
     return _denoise_mc_range(
         cfg, sched, unet_params, lat4, state4, base_inputs, controller,
         tuple(concept_inputs), tuple(concept_loras), masks,

@@ -100,3 +100,43 @@ def test_cfg_combine():
     out = sampling.cfg_combine(jnp.concatenate([uncond, cond]), 7.5)
     np.testing.assert_allclose(np.asarray(out), 7.5)
     assert out.shape == (2, 2)
+
+
+def test_lcm_schedule_and_step():
+    """LCM few-step mode: timesteps on the distillation grid; a perfect
+    denoiser's x0 is recovered at the final step (consistency blend
+    pulls toward x0); intermediate steps re-noise deterministically."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from omg_tpu.diffusion import schedulers
+
+    sched = schedulers.make_schedule("lcm", 4)
+    ts = np.asarray(sched.timesteps)
+    assert len(ts) == 4 and (np.diff(ts) < 0).all()
+    assert ts[0] == 999 and ts[-1] == 19  # origin grid: k*20-1
+
+    x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
+    noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
+    st = schedulers.init_state(sched, x0.shape, key=jax.random.PRNGKey(2))
+
+    x = schedulers.add_noise(sched, x0, noise, jnp.int32(0))
+    for i in range(4):
+        t = sched.timesteps[i]
+        a = sched.alphas_cumprod[t]
+        # perfect epsilon for the current sample
+        eps = (x.astype(jnp.float32) - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+        x, st = schedulers.step(sched, st, eps, jnp.int32(i), x)
+    # final output close to x0 (c_skip at t=19 is small but nonzero)
+    err = float(jnp.abs(x - x0).mean())
+    assert err < 0.15, err
+
+    # determinism given the same key
+    st2 = schedulers.init_state(sched, x0.shape, key=jax.random.PRNGKey(2))
+    x2 = schedulers.add_noise(sched, x0, noise, jnp.int32(0))
+    for i in range(4):
+        t = sched.timesteps[i]
+        a = sched.alphas_cumprod[t]
+        eps = (x2.astype(jnp.float32) - jnp.sqrt(a) * x0) / jnp.sqrt(1 - a)
+        x2, st2 = schedulers.step(sched, st2, eps, jnp.int32(i), x2)
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(x2))
