@@ -24,6 +24,8 @@ def main():
                    help="InstantID ip-adapter.bin (enables identity serving)")
     p.add_argument("--identitynet_path", default="",
                    help="InstantID IdentityNet ControlNet dir")
+    p.add_argument("--warmup", action="store_true",
+                   help="AOT-compile all resolution buckets before serving")
     args = p.parse_args()
 
     from omg_tpu import loader
@@ -56,6 +58,10 @@ def main():
             resampler_params=adapter["image_proj"],
             ip_adapter_layers=adapter["ip_adapter"],
             identitynet_params=idnet_params, identitynet_cfg=idnet_cfg)
+
+    if args.warmup:
+        from omg_tpu.serving.warmup import default_serving_warmup
+        default_serving_warmup(cfg, steps=args.num_steps)
 
     OMGServer(engine, registry, instantid=iid).serve(args.host, args.port)
 
