@@ -78,10 +78,10 @@ def flash_attention(q: Array, k: Array, v: Array, *,
                 return cand
         return n
     # Measured on v5e (vs XLA sdpa at SDXL shapes, b=8):
-    #   nq=4096: bq=1024/bk=2048 -> 5.0 ms vs 14.8 ms XLA (3.0x)
-    #   nq=1024: bq=512 /bk=1024 -> 0.29 ms vs 1.95 ms XLA (6.7x)
-    if nq >= 4096:
-        bq, bk = max(bq, 1024), max(bk, 2048)
+    #   nq=4096: bq=512/bk=1024 -> 5.1 ms vs 14.8 ms XLA (2.9x)
+    #   nq=1024: bq=512/bk=1024 -> 0.29 ms vs 1.95 ms XLA (6.7x)
+    # (bq=1024/bk=2048 is ~1.6% faster standalone at 4096 but overflows
+    # the compiler's VMEM budget inside the full stage-2 program.)
     bq_ = pick(nq, bq)
     bk_ = pick(nk, bk)
     scale = d ** -0.5
