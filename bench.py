@@ -184,6 +184,13 @@ def main():
         times.append(time.time() - t0)
     p50 = float(np.median(times))
 
+    from omg_tpu.utils.profiling import device_memory_stats
+    mem = device_memory_stats()
+    peak_gb = None
+    for v in mem.values():
+        if v.get("peak_bytes_in_use"):
+            peak_gb = round(v["peak_bytes_in_use"] / 2 ** 30, 2)
+
     target_s = 5.0  # driver north-star: 2-concept 1024^2 50-step < 5 s
     result = {
         "metric": "omg_2concept_1024_50step_e2e_latency",
@@ -196,6 +203,7 @@ def main():
             "size": size, "steps": steps,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
+            "peak_hbm_gb": peak_gb,
         },
     }
     print(json.dumps(result))

@@ -193,6 +193,19 @@ class OMGServer:
                         self._send(200, json.dumps(server.submit(job)))
                     except Exception as e:
                         self._send(500, json.dumps({"error": str(e)}))
+                elif self.path == "/generate_form":
+                    try:
+                        from urllib.parse import parse_qs
+                        fields = {k: v[0] for k, v in
+                                  parse_qs(raw.decode()).items()}
+                        out = server.submit(fields)
+                        self._send(200,
+                                   "<img src='data:image/png;base64,"
+                                   + out["image"] + "'/>"
+                                   + f"<p>{out['seconds']} s</p>",
+                                   "text/html")
+                    except Exception as e:
+                        self._send(500, f"<pre>{e}</pre>", "text/html")
                 else:
                     self._send(404, "{}")
 

@@ -141,6 +141,19 @@ def test_server_instantid_job():
     assert len(out["image"]) > 100
 
 
+def test_server_form_post(server):
+    from urllib.parse import urlencode
+    data = urlencode({"prompt": "the man", "seed": 1, "height": H,
+                      "width": W,
+                      "prompt_rewrite": "[the man]-*-[bad]"}).encode()
+    req = urllib.request.Request(
+        server + "/generate_form", data=data,
+        headers={"Content-Type": "application/x-www-form-urlencoded"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        body = r.read().decode()
+    assert "data:image/png;base64," in body
+
+
 def test_server_bad_request(server):
     req = urllib.request.Request(server + "/generate", data=b"not json",
                                  headers={"Content-Type": "application/json"})
