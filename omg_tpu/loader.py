@@ -42,8 +42,14 @@ def _vae_scaling(folder: str, default: float = 0.13025) -> float:
     return default
 
 
-def load_sdxl(checkpoint_dir: str, *, dtype: Any = jnp.bfloat16):
-    """-> (SDXLConfig, SDXLParams, tokenizer, tokenizer_2)."""
+def load_sdxl(checkpoint_dir: str, *, dtype: Any = jnp.bfloat16,
+              pack: bool = True):
+    """-> (SDXLConfig, SDXLParams, tokenizer, tokenizer_2).
+
+    ``pack`` scan-packs the UNet's deep transformer stacks
+    (models/unet.py:pack_params) — same math, ~10x smaller HLO for the
+    depth-10 stacks, much faster XLA compiles.
+    """
     import dataclasses
     vae_dir = os.path.join(checkpoint_dir, "vae")
     cfg = sdxl.SDXLConfig(
@@ -56,10 +62,13 @@ def load_sdxl(checkpoint_dir: str, *, dtype: Any = jnp.bfloat16):
                                            dtype=dtype),
     )
 
+    unet_tree = convert.convert_unet(
+        _load_folder_sd(os.path.join(checkpoint_dir, "unet")), dtype=dtype)
+    if pack:
+        from omg_tpu.models.unet import pack_params
+        unet_tree = pack_params(unet_tree)
     params = sdxl.SDXLParams(
-        unet=convert.convert_unet(
-            _load_folder_sd(os.path.join(checkpoint_dir, "unet")),
-            dtype=dtype),
+        unet=unet_tree,
         vae=convert.convert_vae(_load_folder_sd(vae_dir), dtype=jnp.float32),
         text_encoder=convert.convert_clip(
             _load_folder_sd(os.path.join(checkpoint_dir, "text_encoder")),

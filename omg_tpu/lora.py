@@ -246,22 +246,32 @@ def stack_loras(trees: Sequence[Optional[dict]], *,
     L = len(trees)
 
     def rec(nodes):
-        # nodes: list of Optional[subtree], length L
+        # nodes: list of Optional[subtree], length L. Leaves may be plain
+        # [in, r]/[r, out] or already lane-stacked [B, in, r]/[B, r, out]
+        # (this function also depth-stacks for the scan-packed UNet) —
+        # the rank axis is down[..., -1] / up[..., -2].
         leaves = [n for n in nodes if n is not None and _is_leaf(n)]
         if leaves:
-            din = leaves[0]["down"].shape[0]
-            dout = leaves[0]["up"].shape[1]
-            rmax = max(n["down"].shape[1] for n in leaves)
+            d0, u0 = leaves[0]["down"], leaves[0]["up"]
+            s0 = leaves[0]["scale"]
+            rmax = max(n["down"].shape[-1] for n in leaves)
+
+            def pad_rank(arr, axis, r):
+                pads = [(0, 0)] * arr.ndim
+                pads[axis] = (0, rmax - r)
+                return jnp.pad(arr, pads)
+
             downs, ups, scales = [], [], []
             for n in nodes:
                 if n is None or not _is_leaf(n):
-                    d = jnp.zeros((din, rmax), leaves[0]["down"].dtype)
-                    u = jnp.zeros((rmax, dout), leaves[0]["up"].dtype)
-                    s = jnp.zeros((), jnp.float32)
+                    d = jnp.zeros(d0.shape[:-1] + (rmax,), d0.dtype)
+                    u = jnp.zeros(u0.shape[:-2] + (rmax,) + u0.shape[-1:],
+                                  u0.dtype)
+                    s = jnp.zeros(s0.shape, jnp.float32)
                 else:
-                    r = n["down"].shape[1]
-                    d = jnp.pad(n["down"], ((0, 0), (0, rmax - r)))
-                    u = jnp.pad(n["up"], ((0, rmax - r), (0, 0)))
+                    r = n["down"].shape[-1]
+                    d = pad_rank(n["down"], -1, r)
+                    u = pad_rank(n["up"], -2, r)
                     s = n["scale"].astype(jnp.float32)
                 downs += [d] * repeat
                 ups += [u] * repeat
