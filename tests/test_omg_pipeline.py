@@ -142,6 +142,36 @@ def test_generate_instantid_path(engine):
     np.testing.assert_array_equal(res.stage1, res_b.stage1)
 
 
+def test_generate_with_spatial_controlnet(engine):
+    """BASELINE config #3: pose/canny spatial control over the 2-concept
+    generation (reference: inference_lora.py --spatial_condition)."""
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from omg_tpu import config as cfglib
+    from omg_tpu.models import controlnet as cn_lib
+
+    eng, _ = engine
+    cn_cfg = cfglib.tiny_controlnet()
+    cn_params = cn_lib.init_params(jax.random.PRNGKey(3), cn_cfg)
+    # non-zero heads so the condition actually shifts the output
+    cn_params = jtu.tree_map(
+        lambda x: jnp.ones_like(x) * 0.01 if x.ndim == 4 else x, cn_params)
+    eng2 = omg_lib.OMG(cfg=eng.cfg, params=eng.params,
+                       tokenizer=eng.tokenizer, tokenizer_2=eng.tokenizer_2,
+                       mask_provider=eng.mask_provider, num_steps=3,
+                       cn_cfg=cn_cfg)
+    cond = (np.random.rand(H, W, 3) * 255).astype(np.uint8)
+    kw = dict(negative_prompt="bad",
+              prompt_rewrite="[the man]-*-[bad]|[the woman]-*-[bad]",
+              seed=6, height=H, width=W)
+    with_cn = eng2.generate("the man and the woman", spatial_condition=cond,
+                            controlnet_params=cn_params,
+                            controlnet_scale=1.0, **kw)
+    without = eng2.generate("the man and the woman", **kw)
+    assert with_cn.stage2 is not None
+    assert not np.array_equal(with_cn.stage1, without.stage1)
+
+
 def test_generate_deterministic(engine):
     eng, _ = engine
     kw = dict(prompt_rewrite="[the man]-*-[u]|[the woman]-*-[u]",
