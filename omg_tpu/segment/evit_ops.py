@@ -151,12 +151,75 @@ def evit_block(p: Params, x: Array, *, dim: int = 32,
     return x
 
 
+import functools
+
+import numpy as np
+
+
+@functools.lru_cache(maxsize=64)
+def _bicubic_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] interpolation matrix with torch's bicubic kernel
+    (a=-0.75, align_corners=False, edge-clamped taps).
+
+    jax.image.resize uses the Keys a=-0.5 cubic — the xl1 checkpoint was
+    trained under torch semantics, so the neck must match torch exactly.
+    Static sizes -> the matrix is a compile-time constant and the resize
+    becomes two small matmuls.
+    """
+    a = -0.75
+
+    def w(t):
+        t = abs(t)
+        if t <= 1.0:
+            return (a + 2) * t ** 3 - (a + 3) * t ** 2 + 1
+        if t < 2.0:
+            return a * t ** 3 - 5 * a * t ** 2 + 8 * a * t - 4 * a
+        return 0.0
+
+    m = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = (i + 0.5) * scale - 0.5
+        base = int(np.floor(src))
+        for k in range(-1, 3):
+            j = base + k
+            m[i, min(max(j, 0), n_in - 1)] += w(src - j)
+    return m
+
+
 def bicubic_resize(x: Array, size: tuple) -> Array:
-    """align_corners=False bicubic (torch UpSampleLayer default)."""
-    return jax.image.resize(x, (x.shape[0],) + tuple(size) + (x.shape[-1],),
-                            method="bicubic")
+    """torch-exact bicubic (align_corners=False) on NHWC via matmuls."""
+    h_in, w_in = x.shape[1], x.shape[2]
+    h_out, w_out = size
+    mh = jnp.asarray(_bicubic_matrix(h_in, h_out))
+    mw = jnp.asarray(_bicubic_matrix(w_in, w_out))
+    xf = x.astype(jnp.float32)
+    y = jnp.einsum("oh,bhwc->bowc", mh, xf)
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y)
+    return y.astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _bilinear_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] torch-exact bilinear (align_corners=False)."""
+    m = np.zeros((n_out, n_in), np.float32)
+    scale = n_in / n_out
+    for i in range(n_out):
+        src = max((i + 0.5) * scale - 0.5, 0.0)
+        j0 = int(np.floor(src))
+        frac = src - j0
+        j1 = min(j0 + 1, n_in - 1)
+        j0 = min(j0, n_in - 1)
+        m[i, j0] += 1.0 - frac
+        m[i, j1] += frac
+    return m
 
 
 def bilinear_resize(x: Array, size: tuple) -> Array:
-    return jax.image.resize(x, (x.shape[0],) + tuple(size) + (x.shape[-1],),
-                            method="bilinear")
+    """torch-exact bilinear (align_corners=False) on NHWC via matmuls."""
+    mh = jnp.asarray(_bilinear_matrix(x.shape[1], size[0]))
+    mw = jnp.asarray(_bilinear_matrix(x.shape[2], size[1]))
+    xf = x.astype(jnp.float32)
+    y = jnp.einsum("oh,bhwc->bowc", mh, xf)
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y)
+    return y.astype(x.dtype)
