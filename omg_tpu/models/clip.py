@@ -71,13 +71,24 @@ def init_params(key: Array, cfg: CLIPTextConfig) -> Params:
     return p
 
 
+def _sub(tree, key):
+    if tree is None:
+        return None
+    if isinstance(key, int):
+        if isinstance(tree, (list, tuple)):
+            return tree[key] if key < len(tree) else None
+        return tree.get(key) if isinstance(tree, dict) else None
+    return tree.get(key) if isinstance(tree, dict) else None
+
+
 def _encoder_layer(p: Params, x: Array, mask: Array, num_heads: int,
-                   act: str) -> Array:
+                   act: str, lora=None) -> Array:
     h = layers.layer_norm(p["layer_norm1"], x)
     a = p["self_attn"]
-    q = layers.linear(a["q_proj"], h)
-    k = layers.linear(a["k_proj"], h)
-    v = layers.linear(a["v_proj"], h)
+    alora = _sub(lora, "self_attn")
+    q = layers.linear(a["q_proj"], h, _sub(alora, "q_proj"))
+    k = layers.linear(a["k_proj"], h, _sub(alora, "k_proj"))
+    v = layers.linear(a["v_proj"], h, _sub(alora, "v_proj"))
     b, n, d = q.shape
     hd = d // num_heads
 
@@ -86,17 +97,23 @@ def _encoder_layer(p: Params, x: Array, mask: Array, num_heads: int,
 
     out = sdpa(split(q), split(k), split(v), mask=mask)
     out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
-    x = x + layers.linear(a["out_proj"], out)
+    x = x + layers.linear(a["out_proj"], out, _sub(alora, "out_proj"))
 
     h = layers.layer_norm(p["layer_norm2"], x)
-    h = layers.linear(p["mlp"]["fc1"], h)
+    mlora = _sub(lora, "mlp")
+    h = layers.linear(p["mlp"]["fc1"], h, _sub(mlora, "fc1"))
     h = layers.quick_gelu(h) if act == "quick_gelu" else layers.gelu(h)
-    h = layers.linear(p["mlp"]["fc2"], h)
+    h = layers.linear(p["mlp"]["fc2"], h, _sub(mlora, "fc2"))
     return x + h
 
 
-def apply(p: Params, cfg: CLIPTextConfig, input_ids: Array) -> CLIPTextOutput:
-    """input_ids: [B, 77] int32 (BOS ... EOS pad-with-EOS, CLIP style)."""
+def apply(p: Params, cfg: CLIPTextConfig, input_ids: Array,
+          lora=None) -> CLIPTextOutput:
+    """input_ids: [B, 77] int32 (BOS ... EOS pad-with-EOS, CLIP style).
+
+    ``lora``: optional delta pytree mirroring the param tree (character
+    LoRAs ship text-encoder deltas; the reference activates them for the
+    region-prompt encodings via PEFT set_adapters)."""
     tm = p["text_model"]
     emb = tm["embeddings"]
     x = jnp.take(emb["token_embedding"]["weight"], input_ids, axis=0)
@@ -105,11 +122,18 @@ def apply(p: Params, cfg: CLIPTextConfig, input_ids: Array) -> CLIPTextOutput:
     n = x.shape[1]
     causal = jnp.triu(jnp.full((n, n), -jnp.inf, jnp.float32), k=1)[None, None]
 
+    llora = None
+    if lora is not None:
+        llora = lora.get("text_model", lora)
+        llora = llora.get("encoder", llora)
+        llora = llora.get("layers", llora)
+
     penultimate = x
     for i, lp in enumerate(tm["encoder"]["layers"]):
         if i == cfg.num_layers - 1:
             penultimate = x
-        x = _encoder_layer(lp, x, causal, cfg.num_heads, cfg.hidden_act)
+        x = _encoder_layer(lp, x, causal, cfg.num_heads, cfg.hidden_act,
+                           _sub(llora, i))
 
     last = layers.layer_norm(tm["final_layer_norm"], x)
 

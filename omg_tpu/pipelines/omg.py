@@ -78,13 +78,18 @@ class OMG:
 
     # ---------------------------------------------------------------- text
 
-    def encode(self, prompt: str, negative: str):
+    def encode(self, prompt: str, negative: str, te_lora: tuple = (None, None)):
+        """``te_lora``: (encoder-1, encoder-2) LoRA delta trees — the
+        reference encodes region prompts with the concept's text-encoder
+        adapters active (PEFT set_adapters covers both TEs)."""
         ids1 = jnp.asarray(self.tokenizer([prompt]))
         ids2 = jnp.asarray(self.tokenizer_2([prompt]))
         nids1 = jnp.asarray(self.tokenizer([negative]))
         nids2 = jnp.asarray(self.tokenizer_2([negative]))
-        ep, pp = sdxl.encode_tokens(self.cfg, self.params, ids1, ids2)
-        en, pn = sdxl.encode_tokens(self.cfg, self.params, nids1, nids2)
+        ep, pp = sdxl.encode_tokens(self.cfg, self.params, ids1, ids2,
+                                    te_lora[0], te_lora[1])
+        en, pn = sdxl.encode_tokens(self.cfg, self.params, nids1, nids2,
+                                    te_lora[0], te_lora[1])
         return ep, pp, en, pn
 
     def _token_in_prompt(self, word: str, prompt: str) -> bool:
@@ -134,8 +139,25 @@ class OMG:
         ip_adapters: list = []
         concept_cns: list = []
         for k, region in enumerate(region_specs):
+            # Region prompts encode with the concept's text-encoder LoRA
+            # active (reference: set_adapters before region encode_prompt,
+            # lora_pipeline.py:336-347).
+            tree_k = concept_loras[k] if k < len(concept_loras) else None
+            te_lora = (None, None)
+            if tree_k is not None and isinstance(tree_k, dict):
+                def te_merged(key):
+                    char = tree_k.get(key)
+                    style = (style_lora.get(key)
+                             if isinstance(style_lora, dict) else None)
+                    if style is not None and char is not None:
+                        return lora_lib.merge_loras(
+                            [char, style], list(self.char_style_weights))
+                    return char if char is not None else style
+                te_lora = (te_merged("text_encoder") or None,
+                           te_merged("text_encoder_2") or None)
             rep, rpp, ren, rpn = self.encode(region.prompt,
-                                             region.negative_prompt)
+                                             region.negative_prompt,
+                                             te_lora=te_lora)
             ip_ctx = None
             if instantid is not None and k < len(face_embeddings) \
                     and face_embeddings[k] is not None:

@@ -65,16 +65,17 @@ def init_params(key: Array, cfg: SDXLConfig) -> SDXLParams:
 
 @functools.partial(jax.jit, static_argnums=(0,))
 def encode_tokens(cfg: SDXLConfig, params: SDXLParams, ids1: Array,
-                  ids2: Array) -> tuple[Array, Array]:
+                  ids2: Array, lora1=None, lora2=None) -> tuple[Array, Array]:
     """Token ids [B, 77] x2 -> (embeds [B, 77, H1+H2], pooled [B, P]).
 
     SDXL conditioning: penultimate hidden states of both encoders
     concatenated on the feature axis; pooled = projected EOS embedding of
     encoder 2 (what diffusers encode_prompt builds for the reference at
-    src/pipelines/lora_pipeline.py:315-334).
+    src/pipelines/lora_pipeline.py:315-334). ``lora1``/``lora2``: optional
+    text-encoder LoRA deltas (region-prompt personalization).
     """
-    out1 = clip.apply(params.text_encoder, cfg.text_encoder, ids1)
-    out2 = clip.apply(params.text_encoder_2, cfg.text_encoder_2, ids2)
+    out1 = clip.apply(params.text_encoder, cfg.text_encoder, ids1, lora1)
+    out2 = clip.apply(params.text_encoder_2, cfg.text_encoder_2, ids2, lora2)
     embeds = jnp.concatenate(
         [out1.penultimate, out2.penultimate], axis=-1)
     return embeds, out2.projected

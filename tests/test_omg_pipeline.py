@@ -142,6 +142,30 @@ def test_generate_instantid_path(engine):
     np.testing.assert_array_equal(res.stage1, res_b.stage1)
 
 
+def test_text_encoder_lora_affects_region(engine):
+    """Character LoRAs carry text-encoder deltas; they must flow into the
+    region-prompt encodings and change stage 2 (copy A untouched)."""
+    import jax.numpy as jnp
+    eng, _ = engine
+    k1, k2 = jax.random.split(jax.random.PRNGKey(31))
+    d = eng.cfg.text_encoder.hidden_size
+    te_tree = {"text_model": {"encoder": {"layers": {0: {"self_attn": {
+        "q_proj": {"down": jax.random.normal(k1, (d, 2)) * 0.3,
+                   "up": jax.random.normal(k2, (2, d)) * 0.3,
+                   "scale": jnp.asarray(1.0)}}}}}}}
+    lora_with_te = {"text_encoder": te_tree}
+
+    kw = dict(negative_prompt="bad",
+              prompt_rewrite="[the man]-*-[bad]|[the woman]-*-[bad]",
+              seed=8, height=H, width=W)
+    base = eng.generate("the man and the woman",
+                        concept_loras=[None, None], **kw)
+    with_te = eng.generate("the man and the woman",
+                           concept_loras=[lora_with_te, None], **kw)
+    np.testing.assert_array_equal(base.stage1, with_te.stage1)
+    assert not np.array_equal(base.stage2, with_te.stage2)
+
+
 def test_generate_with_spatial_controlnet(engine):
     """BASELINE config #3: pose/canny spatial control over the 2-concept
     generation (reference: inference_lora.py --spatial_condition)."""
