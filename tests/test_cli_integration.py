@@ -1,0 +1,147 @@
+"""End-to-end CLI integration: a synthesized HF-layout checkpoint directory
+driven through ``python -m omg_tpu.cli.inference_lora`` — exercising the
+loader (geometry from config.json), converter, tokenizers, LoRA loading,
+and the two-stage engine exactly as a user would."""
+
+import json
+import os
+import sys
+
+import jax
+import numpy as np
+import pytest
+
+from omg_tpu import config as cfglib
+from omg_tpu.models import clip as clip_lib
+from omg_tpu.models import unet as unet_lib
+from omg_tpu.models import vae as vae_lib
+from tests.test_convert import _emit_torch_sd
+
+
+def _write_sd(path, tree):
+    from safetensors import numpy as stnp
+    sd = {k: np.asarray(v, np.float32) for k, v in _emit_torch_sd(tree).items()}
+    stnp.save_file(sd, path)
+
+
+def _write_tokenizer(folder):
+    os.makedirs(folder, exist_ok=True)
+    # minimal char-level CLIP BPE vocab; EOS is the max id so argmax
+    # pooling matches HF's eos-position pooling
+    chars = list("abcdefghijklmnopqrstuvwxyz0123456789,.!?-")
+    vocab = {}
+    for i, c in enumerate(chars):
+        vocab[c] = i
+        vocab[c + "</w>"] = len(chars) + i
+    vocab["<|startoftext|>"] = 998
+    vocab["<|endoftext|>"] = 999
+    with open(os.path.join(folder, "vocab.json"), "w") as f:
+        json.dump(vocab, f)
+    with open(os.path.join(folder, "merges.txt"), "w") as f:
+        f.write("#version: 0.2\n")
+
+
+@pytest.fixture(scope="module")
+def fake_checkpoint(tmp_path_factory):
+    root = tmp_path_factory.mktemp("sdxl_ckpt")
+    key = jax.random.PRNGKey(0)
+
+    ucfg = cfglib.tiny_unet()
+    os.makedirs(root / "unet")
+    _write_sd(str(root / "unet" / "diffusion_pytorch_model.safetensors"),
+              unet_lib.init_params(key, ucfg))
+    with open(root / "unet" / "config.json", "w") as f:
+        json.dump({
+            "sample_size": ucfg.sample_size,
+            "block_out_channels": list(ucfg.block_out_channels),
+            "layers_per_block": ucfg.layers_per_block,
+            "transformer_layers_per_block":
+                list(ucfg.transformer_layers_per_block),
+            "attention_head_dim": ucfg.attention_head_dim,
+            "cross_attention_dim": ucfg.cross_attention_dim,
+            "addition_time_embed_dim": ucfg.addition_time_embed_dim,
+            "projection_class_embeddings_input_dim":
+                ucfg.projection_class_embeddings_input_dim,
+            "norm_num_groups": ucfg.norm_num_groups,
+        }, f)
+
+    vcfg = cfglib.tiny_vae()
+    os.makedirs(root / "vae")
+    _write_sd(str(root / "vae" / "diffusion_pytorch_model.safetensors"),
+              vae_lib.init_params(key, vcfg))
+    with open(root / "vae" / "config.json", "w") as f:
+        json.dump({
+            "block_out_channels": list(vcfg.block_out_channels),
+            "layers_per_block": vcfg.layers_per_block,
+            "norm_num_groups": vcfg.norm_num_groups,
+            "scaling_factor": vcfg.scaling_factor,
+        }, f)
+
+    t1 = cfglib.tiny_text_encoder()
+    os.makedirs(root / "text_encoder")
+    _write_sd(str(root / "text_encoder" / "model.safetensors"),
+              clip_lib.init_params(key, t1))
+    with open(root / "text_encoder" / "config.json", "w") as f:
+        json.dump({
+            "architectures": ["CLIPTextModel"],
+            "vocab_size": t1.vocab_size, "hidden_size": t1.hidden_size,
+            "intermediate_size": t1.intermediate_size,
+            "num_hidden_layers": t1.num_layers,
+            "num_attention_heads": t1.num_heads,
+            "hidden_act": t1.hidden_act,
+        }, f)
+
+    t2 = cfglib.tiny_text_encoder_2()
+    os.makedirs(root / "text_encoder_2")
+    _write_sd(str(root / "text_encoder_2" / "model.safetensors"),
+              clip_lib.init_params(key, t2))
+    with open(root / "text_encoder_2" / "config.json", "w") as f:
+        json.dump({
+            "architectures": ["CLIPTextModelWithProjection"],
+            "vocab_size": t2.vocab_size, "hidden_size": t2.hidden_size,
+            "intermediate_size": t2.intermediate_size,
+            "num_hidden_layers": t2.num_layers,
+            "num_attention_heads": t2.num_heads,
+            "hidden_act": t2.hidden_act,
+            "projection_dim": t2.projection_dim,
+        }, f)
+
+    _write_tokenizer(str(root / "tokenizer"))
+    _write_tokenizer(str(root / "tokenizer_2"))
+    return str(root)
+
+
+def test_loader_reads_geometry(fake_checkpoint):
+    from omg_tpu import loader
+    cfg, params, tok1, tok2 = loader.load_sdxl(fake_checkpoint,
+                                               pack=False)
+    assert cfg.unet.block_out_channels == (32, 64)
+    assert cfg.unet.cross_attention_dim == 48
+    assert cfg.vae.block_out_channels == (8, 8, 16, 16)
+    assert cfg.text_encoder_2.projection_dim == 16
+    ids = tok1(["a cat"])
+    assert ids.shape == (1, 77)
+
+
+def test_cli_inference_lora_end_to_end(fake_checkpoint, tmp_path,
+                                       monkeypatch):
+    from omg_tpu.cli import inference_lora
+    save_dir = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "inference_lora",
+        "--pretrained_sdxl_model", fake_checkpoint,
+        "--prompt", "photo of a cat",
+        "--negative_prompt", "ugly",
+        "--prompt_rewrite", "[a cat]-*-[ugly]",
+        "--segment_type", "none",
+        "--save_dir", save_dir,
+        "--seed", "7",
+        "--num_steps", "2",
+        "--height", "32", "--width", "32",
+    ])
+    inference_lora.main()
+    out = os.path.join(save_dir, "seed_7", "stage-1.png")
+    assert os.path.exists(out)
+    import PIL.Image
+    img = PIL.Image.open(out)
+    assert img.size == (32, 32)
