@@ -160,10 +160,23 @@ def load_sdxl(checkpoint_dir: str, *, dtype: Any = jnp.bfloat16,
 
 
 def load_controlnet(checkpoint_dir: str, *, dtype: Any = jnp.bfloat16):
-    """-> (ControlNetConfig, params) from a ControlNet checkpoint dir."""
-    cfg = cfglib.sdxl_controlnet()
+    """-> (ControlNetConfig, params) from a ControlNet checkpoint dir.
+
+    Geometry (UNet trunk + conditioning embedder channels) from the
+    checkpoint's config.json; SDXL defaults when absent.
+    """
     folder = checkpoint_dir
     if os.path.isdir(os.path.join(checkpoint_dir, "controlnet")):
         folder = os.path.join(checkpoint_dir, "controlnet")
+    j = _read_json(folder)
+    base = cfglib.sdxl_controlnet()
+    cfg = cfglib.ControlNetConfig(
+        unet=_unet_cfg(folder, dtype),
+        conditioning_channels=j.get("conditioning_channels",
+                                    base.conditioning_channels),
+        conditioning_embedding_out_channels=tuple(j.get(
+            "conditioning_embedding_out_channels",
+            base.conditioning_embedding_out_channels)),
+    )
     params = convert.convert_controlnet(_load_folder_sd(folder), dtype=dtype)
     return cfg, params

@@ -123,6 +123,47 @@ def test_loader_reads_geometry(fake_checkpoint):
     assert ids.shape == (1, 77)
 
 
+def test_load_controlnet_geometry(tmp_path):
+    from omg_tpu import loader
+    from omg_tpu.models import controlnet as cn_lib
+    ccfg = cfglib.tiny_controlnet()
+    os.makedirs(tmp_path / "cn")
+    _write_sd(str(tmp_path / "cn" / "diffusion_pytorch_model.safetensors"),
+              cn_lib.init_params(jax.random.PRNGKey(0), ccfg))
+    with open(tmp_path / "cn" / "config.json", "w") as f:
+        json.dump({
+            "block_out_channels": list(ccfg.unet.block_out_channels),
+            "layers_per_block": ccfg.unet.layers_per_block,
+            "transformer_layers_per_block":
+                list(ccfg.unet.transformer_layers_per_block),
+            "attention_head_dim": ccfg.unet.attention_head_dim,
+            "cross_attention_dim": ccfg.unet.cross_attention_dim,
+            "addition_time_embed_dim": ccfg.unet.addition_time_embed_dim,
+            "projection_class_embeddings_input_dim":
+                ccfg.unet.projection_class_embeddings_input_dim,
+            "norm_num_groups": ccfg.unet.norm_num_groups,
+            "conditioning_embedding_out_channels":
+                list(ccfg.conditioning_embedding_out_channels),
+        }, f)
+    cfg, params = loader.load_controlnet(str(tmp_path / "cn"),
+                                         dtype=jax.numpy.float32)
+    assert cfg.unet.block_out_channels == (32, 64)
+    assert cfg.conditioning_embedding_out_channels == (8, 8, 16, 16)
+    # forward works with the loaded tree
+    import jax.numpy as jnp
+    s = cfg.unet.sample_size
+    down, mid = cn_lib.apply(
+        params, cfg,
+        jax.random.normal(jax.random.PRNGKey(1), (1, s, s, 4)),
+        jnp.asarray(5),
+        jax.random.normal(jax.random.PRNGKey(2),
+                          (1, 77, cfg.unet.cross_attention_dim)),
+        jax.random.normal(jax.random.PRNGKey(3), (1, s * 8, s * 8, 3)),
+        text_embeds=jax.random.normal(jax.random.PRNGKey(4), (1, 16)),
+        time_ids=jnp.zeros((1, 6)))
+    assert len(down) == 4
+
+
 def test_cli_inference_lora_end_to_end(fake_checkpoint, tmp_path,
                                        monkeypatch):
     from omg_tpu.cli import inference_lora
