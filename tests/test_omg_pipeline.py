@@ -196,6 +196,28 @@ def test_generate_with_spatial_controlnet(engine):
     assert not np.array_equal(with_cn.stage1, without.stage1)
 
 
+def test_generate_zero_regions(engine):
+    """BASELINE config #1: plain single-prompt generation — empty
+    prompt_rewrite means no concepts, no detection, stage 1 only."""
+    eng, calls = engine
+    calls.clear()
+    res = eng.generate("a mountain at sunset", prompt_rewrite="",
+                       seed=2, height=H, width=W)
+    assert calls == []
+    assert res.stage2 is None
+    assert res.image.shape == (H, W, 3)
+
+
+def test_generate_single_region(engine):
+    """One concept: fusion covers only that region."""
+    eng, _ = engine
+    res = eng.generate("the man on a hill",
+                       prompt_rewrite="[the chris man]-*-[ugly]",
+                       seed=4, height=H, width=W)
+    assert res.stage2 is not None
+    assert len(res.masks) == 1 and res.masks[0] is not None
+
+
 def test_generate_deterministic(engine):
     eng, _ = engine
     kw = dict(prompt_rewrite="[the man]-*-[u]|[the woman]-*-[u]",
