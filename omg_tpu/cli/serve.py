@@ -17,7 +17,8 @@ def main():
                    default="./checkpoint/sam/xl1.pt")
     p.add_argument("--segment_type", default="sam")
     p.add_argument("--registry", default="", help="registry JSON path")
-    p.add_argument("--host", default="0.0.0.0")
+    p.add_argument("--host", default="127.0.0.1",
+                   help="bind address; use 0.0.0.0 to expose externally")
     p.add_argument("--port", default=7861, type=int)
     p.add_argument("--num_steps", default=50, type=int)
     p.add_argument("--face_adapter_path", default="",

@@ -106,9 +106,13 @@ def make_schedule(kind: str, num_steps: int, *,
     sigmas = np.concatenate([sigmas, [0.0]])
 
     kind_i = _KINDS[kind]
-    if kind_i == EULER and timestep_spacing == "leading":
+    # Euler AND DPM++2M both live in karras sigma space here
+    # (x = x0 + sigma*eps), so both need the expanded initial scale and the
+    # 1/sqrt(sigma^2+1) model-input scaling below. DDIM/LCM samples stay
+    # unit-variance (alpha-bar space).
+    if kind_i in (EULER, DPMPP_2M) and timestep_spacing == "leading":
         init_noise_sigma = (sigmas.max() ** 2 + 1) ** 0.5
-    elif kind_i == EULER:
+    elif kind_i in (EULER, DPMPP_2M):
         init_noise_sigma = sigmas.max()
     else:
         init_noise_sigma = 1.0
@@ -135,15 +139,17 @@ def init_state(sched: Schedule, latents_shape: tuple,
 
 
 def scale_model_input(sched: Schedule, latents: Array, i: Array) -> Array:
-    """Euler divides by sqrt(sigma^2+1); DDIM/DPM sample stays unit-variance."""
-    if sched.kind == EULER:
+    """Sigma-space schedules (Euler, DPM++2M) divide by sqrt(sigma^2+1)
+    so the UNet always sees a ~unit-variance input; DDIM/LCM samples are
+    already unit-variance."""
+    if sched.kind in (EULER, DPMPP_2M):
         sigma = sched.sigmas[i].astype(latents.dtype)
         return latents / jnp.sqrt(sigma * sigma + 1.0)
     return latents
 
 
 def scale_initial_noise(sched: Schedule, noise: Array) -> Array:
-    if sched.kind == EULER:
+    if sched.kind in (EULER, DPMPP_2M):
         return noise * sched.init_noise_sigma.astype(noise.dtype)
     return noise
 
@@ -158,7 +164,9 @@ def _euler_step(sched: Schedule, eps: Array, i: Array, x: Array) -> Array:
 def _ddim_step(sched: Schedule, eps: Array, i: Array, x: Array) -> Array:
     t = sched.timesteps[i]
     a_t = sched.alphas_cumprod[t]
-    ratio = 1000 // sched.num_steps
+    # num_train_timesteps is alphas_cumprod's length (static), not a
+    # hardcoded 1000 — DDIM spacing stays correct for any training grid.
+    ratio = sched.alphas_cumprod.shape[0] // sched.num_steps
     prev_t = t - ratio
     a_prev = jnp.where(prev_t >= 0, sched.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0)
     xf, ef = x.astype(jnp.float32), eps.astype(jnp.float32)
@@ -217,7 +225,10 @@ def _lcm_step(sched: Schedule, state: SchedulerState, eps: Array,
     xf, ef = x.astype(jnp.float32), eps.astype(jnp.float32)
 
     x0 = (xf - jnp.sqrt(1.0 - a_t) * ef) / jnp.sqrt(a_t)
-    scaled = t.astype(jnp.float32) / 10.0
+    # scaled_timestep = t * timestep_scaling (x10), per published LCM /
+    # diffusers LCMScheduler. c_skip is then ~sigma_data^2/t'^2 — tiny at
+    # small t — so the final step returns essentially pure x0.
+    scaled = t.astype(jnp.float32) * 10.0
     sigma_data2 = 0.5 ** 2
     c_skip = sigma_data2 / (scaled ** 2 + sigma_data2)
     c_out = scaled / jnp.sqrt(scaled ** 2 + sigma_data2)

@@ -26,6 +26,7 @@ throughput-per-chip (images/min/chip is the serving metric).
 from __future__ import annotations
 
 import base64
+import html
 import io
 import json
 import queue
@@ -157,7 +158,9 @@ class OMGServer:
 
     # -------------------------------------------------------------- serve
 
-    def serve(self, host: str = "0.0.0.0", port: int = 7861):
+    def serve(self, host: str = "127.0.0.1", port: int = 7861):
+        """Bind loopback by default; pass host="0.0.0.0" to expose
+        (the reference binds 0.0.0.0:7861, gradio_demo/app.py:567)."""
         server = self
 
         class Handler(BaseHTTPRequestHandler):
@@ -205,7 +208,9 @@ class OMGServer:
                                    + f"<p>{out['seconds']} s</p>",
                                    "text/html")
                     except Exception as e:
-                        self._send(500, f"<pre>{e}</pre>", "text/html")
+                        # escape: the message can echo request fields
+                        self._send(500, f"<pre>{html.escape(str(e))}</pre>",
+                                   "text/html")
                 else:
                     self._send(404, "{}")
 
