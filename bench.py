@@ -165,36 +165,84 @@ def main():
         print(json.dumps(result))
         return
 
+    # fp32 VAE decode is reference behavior (lora_pipeline.py:634-654);
+    # OMG_BENCH_VAE=bf16 opts into the faster serving decode.
+    vae_dtype = (jnp.bfloat16 if os.environ.get("OMG_BENCH_VAE") == "bf16"
+                 else jnp.float32)
+
+    def sync(x):
+        # the axon tunnel's block_until_ready can return early for some
+        # arrays; fetching a scalar to host is a reliable barrier.
+        return float(jnp.sum(x[..., :1, :1, :1]))
+
     def one_generation():
+        t0 = time.time()
         lat1, cache = multiconcept.sample_stage1_cached(
             cfg, sched, unet_params, key=jax.random.PRNGKey(5),
             height=H, width=W, base_inputs=base)
+        sync(lat1)
+        t1 = time.time()
         lat2 = multiconcept.sample_stage2_resumed(
             cfg, sched, unet_params, cache, base_inputs=base,
             controller=ctl, concept_inputs=[concept, concept],
             concept_loras=list(loras), masks=masks)
-        img = sdxl.decode_latents(cfg, vae_params, lat2)
-        img.block_until_ready()
-        return img
+        sync(lat2)
+        t2 = time.time()
+        img = sdxl.decode_latents(cfg, vae_params, lat2, dtype=vae_dtype)
+        sync(img)
+        t3 = time.time()
+        return t1 - t0, t2 - t1, t3 - t2, (lat2, cache)
 
     # Warm-up / compile.
     t0 = time.time()
-    one_generation()
+    *_, (lat2_w, cache_w) = one_generation()
     compile_s = time.time() - t0
 
-    times = []
+    stage1_t, stage2_t, vae_t, times = [], [], [], []
     for _ in range(reps):
-        t0 = time.time()
-        one_generation()
-        times.append(time.time() - t0)
+        s1, s2, dv, _ = one_generation()
+        stage1_t.append(s1)
+        stage2_t.append(s2)
+        vae_t.append(dv)
+        times.append(s1 + s2 + dv)
     p50 = float(np.median(times))
 
+    # Peak HBM: runtime stats when the backend reports them; otherwise
+    # compiled-program memory analysis of the two biggest programs
+    # (stage-2 denoise + VAE decode) — the axon tunnel returns no
+    # runtime memory stats (round-1 bench shipped null here).
     from omg_tpu.utils.profiling import device_memory_stats
-    mem = device_memory_stats()
-    peak_gb = None
-    for v in mem.values():
+    peak_gb, mem_source = None, None
+    for v in device_memory_stats().values():
         if v.get("peak_bytes_in_use"):
             peak_gb = round(v["peak_bytes_in_use"] / 2 ** 30, 2)
+            mem_source = "runtime"
+    if peak_gb is None:
+        try:
+            from omg_tpu.control import regions as regions_lib
+            from omg_tpu.utils.profiling import compiled_peak_bytes
+            # lowering args mirror sample_stage2_resumed's call exactly so
+            # the persistent compilation cache is hit (no fresh compile)
+            boundary = min(regions_lib.FUSION_START_STEP + 1, steps)
+            progs = {
+                "stage2": lambda: multiconcept._denoise_mc_range_traj.lower(
+                    cfg, sched, unet_params, cache_w.latents,
+                    cache_w.sched_state, cache_w.a_traj, base, ctl,
+                    (concept, concept), tuple(loras), masks, i0=boundary),
+                "vae": lambda: sdxl.decode_latents.lower(
+                    cfg, vae_params, lat2_w, dtype=vae_dtype),
+            }
+            peaks = {}
+            for name, lower in progs.items():
+                try:
+                    peaks[name] = compiled_peak_bytes(lower().compile())
+                except Exception:
+                    pass
+            if peaks:
+                peak_gb = round(max(peaks.values()) / 2 ** 30, 2)
+                mem_source = "memory_analysis:" + max(peaks, key=peaks.get)
+        except Exception:
+            pass
 
     target_s = 5.0  # driver north-star: 2-concept 1024^2 50-step < 5 s
     result = {
@@ -205,10 +253,15 @@ def main():
         "extra": {
             "compile_s": round(compile_s, 1),
             "times": [round(t, 3) for t in times],
+            "stage1_s": round(float(np.median(stage1_t)), 3),
+            "stage2_s": round(float(np.median(stage2_t)), 3),
+            "vae_s": round(float(np.median(vae_t)), 3),
+            "vae_dtype": "bf16" if vae_dtype == jnp.bfloat16 else "fp32",
             "size": size, "steps": steps,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "peak_hbm_gb": peak_gb,
+            "peak_hbm_source": mem_source,
         },
     }
     print(json.dumps(result))

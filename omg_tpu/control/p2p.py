@@ -192,8 +192,14 @@ class P2PControl:
             self_seq_limit=width * height,
         )
 
-    def at_step(self, step: Array) -> "P2PStepControl":
-        return P2PStepControl(self, step)
+    def at_step(self, step: Array, *, src_lane: int = 2,
+                dst_lane: int = 3) -> "P2PStepControl":
+        """``src_lane``/``dst_lane``: batch rows holding cond-A (the edit
+        source) and cond-B (the edit target). Default 2/3 matches the
+        reference's [uncond_A, uncond_B, cond_A, cond_B] layout; the
+        trajectory-fed 3-row fast path uses 0/2."""
+        return P2PStepControl(self, step, src_lane=src_lane,
+                              dst_lane=dst_lane)
 
 
 def _p2p_flatten(c: "P2PControl"):
@@ -211,9 +217,12 @@ jax.tree_util.register_pytree_node(P2PControl, _p2p_flatten, _p2p_unflatten)
 class P2PStepControl:
     """AttnControl protocol implementation bound to one (traced) step."""
 
-    def __init__(self, ctl: P2PControl, step: Array):
+    def __init__(self, ctl: P2PControl, step: Array, *, src_lane: int = 2,
+                 dst_lane: int = 3):
         self.ctl = ctl
         self.step = step
+        self.src_lane = src_lane
+        self.dst_lane = dst_lane
 
     def wants(self, *, is_cross: bool, num_queries: int) -> bool:
         """Static gate: do we need materialized probs on this layer?
@@ -235,8 +244,8 @@ class P2PStepControl:
         formulation below (``self_lane_qk`` / ``cross_lane_out``).
         """
         ctl = self.ctl
-        base = probs[2]
-        repl = probs[3]
+        base = probs[self.src_lane]
+        repl = probs[self.dst_lane]
         if is_cross:
             nk = probs.shape[-1]
             alpha = jax.lax.dynamic_index_in_dim(
@@ -249,7 +258,7 @@ class P2PStepControl:
             in_window = jnp.logical_and(ctl.self_start <= self.step,
                                         self.step < ctl.self_end)
             new_repl = jnp.where(in_window, base, repl)
-        return probs.at[3].set(new_repl)
+        return probs.at[self.dst_lane].set(new_repl)
 
     # -- O(N²)-free lane formulation ------------------------------------
     #
@@ -265,28 +274,30 @@ class P2PStepControl:
     #     commutes into the value row).
 
     def self_lane_qk(self, q: Array, k: Array) -> tuple:
-        """Lane substitution for self-attn replace. q, k: [4, H, N, D]."""
+        """Lane substitution for self-attn replace. q, k: [B, H, N, D]."""
         ctl = self.ctl
+        s, d = self.src_lane, self.dst_lane
         win = jnp.logical_and(ctl.self_start <= self.step,
                               self.step < ctl.self_end)
-        q = q.at[3].set(jnp.where(win, q[2], q[3]))
-        k = k.at[3].set(jnp.where(win, k[2], k[3]))
+        q = q.at[d].set(jnp.where(win, q[s], q[d]))
+        k = k.at[d].set(jnp.where(win, k[s], k[d]))
         return q, k
 
     def cross_lane_out(self, out: Array, q: Array, k: Array, v: Array,
                        sdpa_fn) -> Array:
-        """Rewrite lane 3 of a cross-attn output without probs.
+        """Rewrite the dst lane of a cross-attn output without probs.
 
-        out/q/k/v: [4, H, N(q/k), D]; sdpa_fn(q, k, v) -> attention out.
+        out/q/k/v: [B, H, N(q/k), D]; sdpa_fn(q, k, v) -> attention out.
         """
         ctl = self.ctl
+        s, d = self.src_lane, self.dst_lane
         nk = k.shape[2]
         alpha = jax.lax.dynamic_index_in_dim(
             ctl.cross_alpha, self.step, keepdims=False)[:nk]
         alpha = alpha.astype(v.dtype)[None, :, None]          # [1, Nk, 1]
         mapper = ctl.mapper[:nk, :nk].astype(v.dtype)
-        va = jnp.einsum("wn,hnd->hwd", mapper, v[3] * alpha)
-        vb = v[3] * (1.0 - alpha)
-        t1 = sdpa_fn(q[2:3], k[2:3], va[None])
-        t2 = sdpa_fn(q[3:4], k[3:4], vb[None])
-        return out.at[3].set((t1 + t2)[0])
+        va = jnp.einsum("wn,hnd->hwd", mapper, v[d] * alpha)
+        vb = v[d] * (1.0 - alpha)
+        t1 = sdpa_fn(q[s:s + 1], k[s:s + 1], va[None])
+        t2 = sdpa_fn(q[d:d + 1], k[d:d + 1], vb[None])
+        return out.at[d].set((t1 + t2)[0])

@@ -56,13 +56,13 @@ def union_mask(masks: Array) -> Array:
     return (jnp.sum(masks == 1, axis=0) > 0).astype(masks.dtype)
 
 
-def fuse_region_noise(noise_pred: Array, region_preds: Array, masks: Array,
-                      *, active: Array,
-                      replace_ratio: float = REPLACE_RATIO) -> Array:
-    """Rewrite copy-B noise rows with per-concept masked predictions.
+def fuse_region_edit(edit: Array, region_preds: Array, masks: Array,
+                     *, active: Array,
+                     replace_ratio: float = REPLACE_RATIO) -> Array:
+    """Fuse per-concept masked predictions into copy-B's (uncond, cond) rows.
 
     Args:
-      noise_pred:   [4, h, w, C]  base UNet eps for [unc_A, unc_B, cond_A, cond_B]
+      edit:         [2, h, w, C]  copy-B base eps rows (uncond_B, cond_B)
       region_preds: [K, 2, h, w, C] per-concept (uncond, cond) eps
       masks:        [K, h, w]  latent-resolution binary masks (0 rows for
                     inactive concept slots — a zero mask is a no-op, which
@@ -77,16 +77,24 @@ def fuse_region_noise(noise_pred: Array, region_preds: Array, masks: Array,
     reference's mask normalization (:602).
     """
     union = union_mask(masks)[None, :, :, None]          # [1, h, w, 1]
-    edit = jnp.stack([noise_pred[1], noise_pred[3]])     # [2, h, w, C]
     new = jnp.where(union == 0, edit, (1.0 - replace_ratio) * edit)
 
     m = masks[:, None, :, :, None]                       # [K, 1, h, w, 1]
     safe = jnp.where(m == 1, m, 1.0).astype(region_preds.dtype)
     contrib = jnp.where(m == 1, region_preds / safe, 0.0)
     new = new + replace_ratio * jnp.sum(contrib, axis=0).astype(new.dtype)
+    return jnp.where(active, new, edit)
 
-    fused = noise_pred.at[1].set(new[0]).at[3].set(new[1])
-    return jnp.where(active, fused, noise_pred)
+
+def fuse_region_noise(noise_pred: Array, region_preds: Array, masks: Array,
+                      *, active: Array,
+                      replace_ratio: float = REPLACE_RATIO) -> Array:
+    """4-row layout wrapper: rewrite rows 1 and 3 (copy B) of
+    [unc_A, unc_B, cond_A, cond_B] (reference :570,606-607)."""
+    edit = jnp.stack([noise_pred[1], noise_pred[3]])     # [2, h, w, C]
+    new = fuse_region_edit(edit, region_preds, masks, active=active,
+                           replace_ratio=replace_ratio)
+    return noise_pred.at[1].set(new[0]).at[3].set(new[1])
 
 
 def make_concept_mask_stack(masks: Sequence[Optional[Array]],

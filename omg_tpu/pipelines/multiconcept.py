@@ -86,6 +86,92 @@ def _controlnet_residuals(cns: tuple, cn_cfg, lin: Array, t: Array,
     return down_acc, mid_acc
 
 
+def _concept_cn_residuals(concept_controlnets, concept_inputs, rl: Array,
+                          t: Array, tembeds: Array, tids: Array, cn_cfg):
+    """ControlNet residuals covering ALL 2K concept lanes (or (None, None)).
+
+    Handles the heterogeneity the reference never batches (it runs one
+    sequential IdentityNet call per concept, instantid_pipeline.py:638-648):
+      * concepts without a ControlNet get zero-scale lanes — an exact
+        no-op, so the residual stack always has 2K rows;
+      * per-concept ``scale`` values are applied per-lane (the merged
+        forward no longer silently uses concept 0's scale for everyone);
+      * all live entries must share ONE params tree — the reference's
+        semantics is a single IdentityNet serving every concept; merging
+        distinct weight trees into one forward would silently drop all
+        but the first, so that case raises instead.
+    """
+    K = len(concept_controlnets)
+    live = [cn for cn in concept_controlnets if cn is not None]
+    if not live:
+        return None, None
+    # Precondition (validated host-side by validate_concept_controlnets
+    # before the jit boundary — object identity is meaningless on traced
+    # pytrees): all live entries share ONE params tree; the merged
+    # forward runs template.params for every lane.
+    template = live[0]
+    has_ehs = [cn.encoder_hidden_states is not None for cn in live]
+    if any(has_ehs) and not all(has_ehs):
+        raise ValueError(
+            "live concept ControlNets must consistently provide "
+            "encoder_hidden_states (IdentityNet image-prompt tokens) or "
+            "consistently omit them")
+
+    conds, ehs_rows, scales = [], [], []
+    for k in range(K):
+        cn = concept_controlnets[k]
+        if cn is None:
+            conds.append(jnp.zeros(
+                (2,) + template.cond_image.shape[1:],
+                template.cond_image.dtype))
+            if template.encoder_hidden_states is not None:
+                ehs_rows.append(jnp.zeros(
+                    (2,) + template.encoder_hidden_states.shape[1:],
+                    template.encoder_hidden_states.dtype))
+            else:
+                ehs_rows.append(concept_inputs[k].prompt_embeds)
+            scales.append(jnp.zeros((), jnp.float32))
+        else:
+            conds.append(jnp.broadcast_to(
+                cn.cond_image, (2,) + cn.cond_image.shape[1:]))
+            ehs_rows.append(cn.encoder_hidden_states
+                            if cn.encoder_hidden_states is not None
+                            else concept_inputs[k].prompt_embeds)
+            scales.append(jnp.asarray(cn.scale, jnp.float32))
+    # per-lane scale: each concept's (uncond, cond) pair shares its scale
+    scale_lanes = jnp.repeat(jnp.stack(scales), 2)[:, None, None, None]
+    return controlnet_lib.apply(
+        template.params, cn_cfg, rl, t, jnp.concatenate(ehs_rows),
+        jnp.concatenate(conds), text_embeds=tembeds, time_ids=tids,
+        conditioning_scale=scale_lanes)
+
+
+def validate_concept_controlnets(concept_controlnets) -> None:
+    """Host-side check (call BEFORE jit): all live per-concept ControlNets
+    must share one params tree.
+
+    The lane-merged forward (_concept_cn_residuals) runs a single weight
+    tree over all 2K lanes — the reference's semantics, where one
+    IdentityNet serves every concept (instantid_pipeline.py:638-648).
+    Distinct weight trees would be silently dropped, so they raise here.
+    Identity is checked on the leaves (the same jax.Array objects), which
+    is only meaningful outside a trace.
+    """
+    live = [cn for cn in (concept_controlnets or ()) if cn is not None]
+    if len(live) < 2:
+        return
+    ref_leaves = jax.tree.leaves(live[0].params)
+    for cn in live[1:]:
+        leaves = jax.tree.leaves(cn.params)
+        if len(leaves) != len(ref_leaves) or any(
+                a is not b for a, b in zip(ref_leaves, leaves)):
+            raise ValueError(
+                "per-concept ControlNets must share one params tree (one "
+                "IdentityNet serves every concept in the reference); got "
+                "distinct weight trees — run them as separate pipelines "
+                "or share the params object")
+
+
 class ConceptInputs(NamedTuple):
     """Per-concept conditioning, CFG-stacked [neg; pos] rows.
 
@@ -218,23 +304,9 @@ def multiconcept_step(
 
             k_down = k_mid = None
             if concept_controlnets:
-                live = [cn for cn in concept_controlnets if cn is not None]
-                if live:
-                    cond = jnp.concatenate([
-                        jnp.broadcast_to(cn.cond_image,
-                                         (2,) + cn.cond_image.shape[1:])
-                        for cn in live])
-                    ehs_cn = jnp.concatenate([
-                        cn.encoder_hidden_states
-                        if cn.encoder_hidden_states is not None
-                        else concept_inputs[ki].prompt_embeds
-                        for ki, cn in enumerate(concept_controlnets)
-                        if cn is not None])
-                    merged = ControlNetInputs(
-                        params=live[0].params, cond_image=cond,
-                        scale=live[0].scale, encoder_hidden_states=ehs_cn)
-                    k_down, k_mid = _controlnet_residuals(
-                        (merged,), cn_cfg, rl2, t, embeds, tembeds, tids)
+                k_down, k_mid = _concept_cn_residuals(
+                    concept_controlnets, concept_inputs, rl2, t,
+                    tembeds, tids, cn_cfg)
 
             out = unet.apply(
                 unet_params, cfg.unet, rl2, t, embeds,
@@ -319,9 +391,19 @@ def duplicate_latents(latents_single: Array) -> Array:
 
 
 class StageCache(NamedTuple):
-    """Boundary state handed from stage 1 to stage 2."""
+    """Boundary state handed from stage 1 to stage 2.
+
+    ``a_traj``/``a_final`` enable the 3-row stage-2 fast path: copy A's
+    stage-2 trajectory is bit-identical to stage 1's (fusion writes only
+    copy-B rows, reference :606-607, and P2P edits only cond-B,
+    p2p_attention.py:129-137), so stage 1 records its own per-step input
+    latents and stage 2 feeds them to a single cond-A lane instead of
+    carrying copy A through CFG + scheduler updates (4+2K -> 3+2K lanes).
+    """
     latents: Array                       # [1, h, w, 4] at step fusion_start+1
     sched_state: schedulers.SchedulerState
+    a_traj: Optional[Array] = None       # [S-boundary, 1, h, w, 4] step inputs
+    a_final: Optional[Array] = None      # [1, h, w, 4] stage-1 final latent
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg"))
@@ -352,6 +434,164 @@ def _denoise_cfg_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         return schedulers.step(sched, st, guided, i, x)
 
     return jax.lax.fori_loop(i0, i1, body, (latents, state))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg"))
+def _denoise_cfg_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                            unet_params: dict, latents: Array,
+                            state: schedulers.SchedulerState,
+                            base_inputs: BaseInputs, *, i0: int, i1: int,
+                            base_controlnets: tuple = (),
+                            cn_cfg=None) -> tuple:
+    """Like _denoise_cfg_range, additionally recording each step's INPUT
+    latent -> (latents, state, traj[i1-i0, ...]). The trajectory feeds the
+    3-row stage-2 fast path (copy A's lane inputs are exactly these)."""
+    embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
+    tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
+    tids2 = base_inputs.time_ids[jnp.array([0, 2])]
+    traj0 = jnp.zeros((max(i1 - i0, 0),) + latents.shape, latents.dtype)
+    if i1 <= i0:          # empty suffix (fusion gate at/after the last step)
+        return latents, state, traj0
+
+    def body(i, carry):
+        x, st, traj = carry
+        traj = jax.lax.dynamic_update_index_in_dim(traj, x, i - i0, 0)
+        t = sched.timesteps[i]
+        lin = jnp.concatenate([x, x])
+        lin = schedulers.scale_model_input(sched, lin, i)
+        down_res = mid_res = None
+        if base_controlnets:
+            down_res, mid_res = _controlnet_residuals(
+                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2)
+        eps = unet.apply(unet_params, cfg.unet, lin, t, embeds2,
+                         text_embeds=tembeds2, time_ids=tids2,
+                         down_block_residuals=down_res,
+                         mid_block_residual=mid_res)
+        guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
+        x, st = schedulers.step(sched, st, guided, i, x)
+        return (x, st, traj)
+
+    return jax.lax.fori_loop(i0, i1, body, (latents, state, traj0))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "i0", "fusion_start", "ip_scale_static",
+                     "cn_cfg"))
+def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                           unet_params: dict, latent_b: Array,
+                           state: schedulers.SchedulerState, a_traj: Array,
+                           base_inputs: BaseInputs, controller,
+                           concept_inputs, concept_loras, masks, *, i0: int,
+                           concept_ip_adapters: tuple = (),
+                           fusion_start: int = regions.FUSION_START_STEP,
+                           ip_scale_static: float = 1.0,
+                           base_controlnets: tuple = (),
+                           concept_controlnets: tuple = (),
+                           cn_cfg=None) -> Array:
+    """Stage-2 suffix with copy A collapsed to ONE trajectory-fed lane:
+    3+2K lanes instead of the reference-layout 4+2K.
+
+    Exactness (equivalence-tested vs the 4-row program):
+      * region fusion writes only copy-B rows (reference :606-607) and
+        P2P edits only cond-B (p2p_attention.py:129-137), so copy A's
+        stage-2 trajectory == stage 1's — its per-step latents are already
+        recorded (``a_traj``) and copy A needs no uncond lane, no CFG and
+        no scheduler updates;
+      * copy A's cond lane still runs (input = recorded trajectory)
+        because its attention internals are the P2P edit source
+        (cross-attn probs all steps; self-attn probs inside the replace
+        window); its eps output is discarded.
+
+    Lane layout: [cond_A, uncond_B, cond_B, c1_unc, c1_cond, c2_unc, ...];
+    P2P addresses src_lane=0 / dst_lane=2. latent_b: [1, h, w, 4].
+    """
+    K = len(concept_inputs)
+    from omg_tpu import lora as lora_lib
+    # base rows [cond_A, uncond_B, cond_B] from the 4-row layout's
+    # [unc_A, unc_B, cond_A, cond_B] contract
+    bidx = jnp.array([2, 1, 3])
+    embeds = jnp.concatenate(
+        [base_inputs.prompt_embeds[bidx]]
+        + [ci.prompt_embeds for ci in concept_inputs])
+    tembeds = jnp.concatenate(
+        [base_inputs.text_embeds[bidx]]
+        + [ci.text_embeds for ci in concept_inputs])
+    tids = jnp.concatenate(
+        [base_inputs.time_ids[bidx]] + [ci.time_ids for ci in concept_inputs])
+    lane_lora = lora_lib.stack_loras(
+        [None, None, None] + [
+            (concept_loras[k].get("unet", concept_loras[k])
+             if concept_loras[k] is not None else None)
+            for k in range(K) for _ in range(2)])
+    ip_ctx = None
+    if any(ci.ip_context is not None for ci in concept_inputs):
+        zeros_ip = next(ci.ip_context for ci in concept_inputs
+                        if ci.ip_context is not None) * 0.0
+        parts = [jnp.zeros((3,) + zeros_ip.shape[1:], zeros_ip.dtype)]
+        for ci in concept_inputs:
+            parts.append(ci.ip_context if ci.ip_context is not None
+                         else zeros_ip)
+        ip_ctx = jnp.concatenate(parts)
+    ipk = concept_ip_adapters[0] if concept_ip_adapters else None
+
+    def body(i, carry):
+        x, st = carry                        # [1, h, w, 4] (copy B)
+        t = sched.timesteps[i]
+        xa = jax.lax.dynamic_index_in_dim(a_traj, i - i0, keepdims=False)
+        lin_a = schedulers.scale_model_input(sched, xa, i)
+        lin_b = schedulers.scale_model_input(
+            sched, jnp.concatenate([x, x]), i)
+        lanes = jnp.concatenate(
+            [lin_a, lin_b,
+             jnp.broadcast_to(lin_b[1:2], (2 * K,) + lin_b.shape[1:])])
+
+        down_res = mid_res = None
+        if base_controlnets or any(c is not None
+                                   for c in concept_controlnets):
+            b_down = b_mid = None
+            if base_controlnets:
+                b_down, b_mid = _controlnet_residuals(
+                    base_controlnets, cn_cfg, lanes[:3], t, embeds[:3],
+                    tembeds[:3], tids[:3])
+            c_down = c_mid = None
+            if any(cn is not None for cn in concept_controlnets):
+                c_down, c_mid = _concept_cn_residuals(
+                    concept_controlnets, concept_inputs, lanes[3:], t,
+                    tembeds[3:], tids[3:], cn_cfg)
+            if b_down is None and c_down is not None:
+                b_down = [jnp.zeros((3,) + r.shape[1:], r.dtype)
+                          for r in c_down]
+                b_mid = jnp.zeros((3,) + c_mid.shape[1:], c_mid.dtype)
+            if c_down is None and b_down is not None:
+                c_down = [jnp.zeros((2 * K,) + r.shape[1:], r.dtype)
+                          for r in b_down]
+                c_mid = jnp.zeros((2 * K,) + b_mid.shape[1:], b_mid.dtype)
+            if b_down is not None:
+                down_res = [jnp.concatenate([b, c])
+                            for b, c in zip(b_down, c_down)]
+                mid_res = jnp.concatenate([b_mid, c_mid])
+
+        ctrl = (controller.at_step(i, src_lane=0, dst_lane=2)
+                if controller is not None else None)
+        eps_all = unet.apply(
+            unet_params, cfg.unet, lanes, t, embeds,
+            text_embeds=tembeds, time_ids=tids,
+            lora=lane_lora, control=ctrl,
+            ip_adapter=ipk, ip_context=ip_ctx,
+            ip_scale=ip_scale_static,
+            down_block_residuals=down_res, mid_block_residual=mid_res)
+
+        edit = eps_all[1:3]                  # [uncond_B, cond_B]
+        region_preds = eps_all[3:].reshape((K, 2) + lanes.shape[1:])
+        active = jnp.asarray(i > fusion_start)
+        fused = regions.fuse_region_edit(
+            edit, region_preds, masks.astype(edit.dtype), active=active)
+        guided = sampling.cfg_combine(fused, base_inputs.guidance_scale)
+        return schedulers.step(sched, st, guided, i, x)
+
+    x, _ = jax.lax.fori_loop(i0, sched.num_steps, body, (latent_b, state))
+    return x
 
 
 @functools.partial(
@@ -446,25 +686,10 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                     base_inputs.prompt_embeds, base_inputs.text_embeds,
                     base_inputs.time_ids)
             c_down = c_mid = None
-            live = [cn for cn in concept_controlnets if cn is not None]
-            if live:
-                rl = lanes[4:]
-                cond = jnp.concatenate([
-                    jnp.broadcast_to(cn.cond_image,
-                                     (2,) + cn.cond_image.shape[1:])
-                    for cn in live])
-                ehs_cn = jnp.concatenate([
-                    cn.encoder_hidden_states
-                    if cn.encoder_hidden_states is not None
-                    else concept_inputs[ki].prompt_embeds
-                    for ki, cn in enumerate(concept_controlnets)
-                    if cn is not None])
-                merged = ControlNetInputs(
-                    params=live[0].params, cond_image=cond,
-                    scale=live[0].scale, encoder_hidden_states=ehs_cn)
-                c_down, c_mid = _controlnet_residuals(
-                    (merged,), cn_cfg, rl, t, embeds[4:], tembeds[4:],
-                    tids[4:])
+            if any(cn is not None for cn in concept_controlnets):
+                c_down, c_mid = _concept_cn_residuals(
+                    concept_controlnets, concept_inputs, lanes[4:], t,
+                    tembeds[4:], tids[4:], cn_cfg)
             # pad each side's residuals with zeros for the other's lanes
             if b_down is None and c_down is not None:
                 b_down = [jnp.zeros((4,) + r.shape[1:], r.dtype)
@@ -519,19 +744,19 @@ def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     lat_b, st_b = _denoise_cfg_range.__wrapped__(
         cfg, sched, unet_params, latents0, state, base_inputs,
         i0=0, i1=boundary)
-    lat1, _ = _denoise_cfg_range.__wrapped__(
+    lat1, _, traj = _denoise_cfg_range_traj.__wrapped__(
         cfg, sched, unet_params, lat_b, st_b, base_inputs,
         i0=boundary, i1=sched.num_steps)
-    st4 = schedulers.SchedulerState(
-        prev_model_output=jnp.concatenate(
-            [st_b.prev_model_output, st_b.prev_model_output]),
-        step_count=st_b.step_count, key=st_b.key)
-    lat2 = _denoise_mc_range.__wrapped__(
-        cfg, sched, unet_params, duplicate_latents(lat_b), st4,
-        base_inputs, controller, concept_inputs, concept_loras, masks,
-        i0=boundary, fusion_start=fusion_start,
-        concept_ip_adapters=concept_ip_adapters,
-        ip_scale_static=ip_scale_static)
+    if len(concept_inputs) > 0 and traj.shape[0] > 0:
+        lat2b = _denoise_mc_range_traj.__wrapped__(
+            cfg, sched, unet_params, lat_b, st_b, traj,
+            base_inputs, controller, concept_inputs, concept_loras, masks,
+            i0=boundary, fusion_start=fusion_start,
+            concept_ip_adapters=concept_ip_adapters,
+            ip_scale_static=ip_scale_static)
+        lat2 = jnp.concatenate([lat1, lat2b])
+    else:
+        lat2 = duplicate_latents(lat1)
     return duplicate_latents(lat1), lat2
 
 
@@ -541,7 +766,12 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                          fusion_start: int = regions.FUSION_START_STEP,
                          base_controlnets: Sequence = (),
                          cn_cfg=None) -> tuple:
-    """Stage 1 via the dedup fast path -> ([2, h, w, 4] latents, StageCache)."""
+    """Stage 1 via the dedup fast path -> ([2, h, w, 4] latents, StageCache).
+
+    The post-boundary suffix records its per-step input latents (copy A's
+    stage-2 trajectory — bit-identical by the fusion/P2P row analysis in
+    StageCache) so stage 2 can run the 3+2K-lane program.
+    """
     lat = sdxl.prepare_latents(key, 1, height, width, sched, cfg.unet.dtype)
     # stochastic schedulers (LCM re-noising) draw from a seed-derived key
     state = schedulers.init_state(sched, lat.shape,
@@ -551,11 +781,11 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         cfg, sched, unet_params, lat, state, base_inputs,
         i0=0, i1=boundary, base_controlnets=tuple(base_controlnets),
         cn_cfg=cn_cfg)
-    cache = StageCache(lat_b, st_b)
-    lat_end, _ = _denoise_cfg_range(
+    lat_end, _, traj = _denoise_cfg_range_traj(
         cfg, sched, unet_params, lat_b, st_b, base_inputs,
         i0=boundary, i1=sched.num_steps,
         base_controlnets=tuple(base_controlnets), cn_cfg=cn_cfg)
+    cache = StageCache(lat_b, st_b, a_traj=traj, a_final=lat_end)
     return duplicate_latents(lat_end), cache
 
 
@@ -572,14 +802,29 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                           cn_cfg=None, lane_sharding=None) -> Array:
     """Stage 2 resumed from the cached pre-fusion boundary -> [2, h, w, 4].
 
-    ``lane_sharding`` (a NamedSharding over the lane axis) distributes
-    the 4+2K lanes across chips for multi-chip latency scaling. (The
-    Pallas flash kernel is bypassed under lane sharding on CPU dry runs;
-    on real multi-chip TPU wrap with shard_map — future work.)
+    Single-chip, the 3+2K-lane trajectory-fed program runs whenever the
+    cache carries copy A's recorded trajectory (see StageCache). Under
+    ``lane_sharding`` (a NamedSharding over the lane axis, multi-chip
+    latency mode) the reference-layout 4+2K program is kept — its lane
+    count is power-of-two friendly for an 8-chip mesh.
     """
+    validate_concept_controlnets(concept_controlnets)
     boundary = min(fusion_start + 1, sched.num_steps)
-    lat4 = duplicate_latents(cache.latents)
     st = cache.sched_state
+    if (cache.a_traj is not None and cache.a_traj.shape[0] > 0
+            and lane_sharding is None and len(concept_inputs) > 0):
+        lat_b = _denoise_mc_range_traj(
+            cfg, sched, unet_params, cache.latents, st, cache.a_traj,
+            base_inputs, controller, tuple(concept_inputs),
+            tuple(concept_loras), masks,
+            i0=boundary, fusion_start=fusion_start,
+            concept_ip_adapters=tuple(concept_ip_adapters),
+            ip_scale_static=ip_scale,
+            base_controlnets=tuple(base_controlnets),
+            concept_controlnets=tuple(concept_controlnets), cn_cfg=cn_cfg)
+        # copy A's final stage-2 latent == stage 1's (rows 0/2 untouched)
+        return jnp.concatenate([cache.a_final, lat_b])
+    lat4 = duplicate_latents(cache.latents)
     state4 = schedulers.SchedulerState(
         prev_model_output=jnp.concatenate(
             [st.prev_model_output, st.prev_model_output]),
@@ -615,6 +860,7 @@ def sample_stage(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     stage-2 re-run regenerates identical noise (reference regenerates
     with the same torch.Generator seed, inference_lora.py:267,287).
     """
+    validate_concept_controlnets(concept_controlnets)
     latents1 = sdxl.prepare_latents(key, 1, height, width, sched,
                                     cfg.unet.dtype)
     latents = duplicate_latents(latents1)

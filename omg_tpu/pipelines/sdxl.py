@@ -131,11 +131,21 @@ def denoise(cfg: SDXLConfig, sched: schedulers.Schedule,
     return sampling.denoise_loop(sched, model_fn, latents)
 
 
-@functools.partial(jax.jit, static_argnums=(0,))
-def decode_latents(cfg: SDXLConfig, vae_params: dict, latents: Array) -> Array:
-    """Latents -> images in [0, 1], fp32 VAE (reference upcast behavior)."""
-    img = vae.decode(vae_params, cfg.vae, latents.astype(jnp.float32))
-    return jnp.clip(img / 2 + 0.5, 0.0, 1.0)
+@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("dtype",))
+def decode_latents(cfg: SDXLConfig, vae_params: dict, latents: Array, *,
+                   dtype=jnp.float32) -> Array:
+    """Latents -> images in [0, 1].
+
+    fp32 by default (the reference upcasts the VAE for decode,
+    lora_pipeline.py:634-654). ``dtype=jnp.bfloat16`` halves decode HBM
+    traffic (~433 ms vs ~470-580 ms per b=2 1024² decode on one v5e) for
+    serving/throughput paths where the <1 LSB-of-uint8 pixel delta is
+    acceptable.
+    """
+    if dtype != jnp.float32:
+        vae_params = jax.tree.map(lambda x: x.astype(dtype), vae_params)
+    img = vae.decode(vae_params, cfg.vae, latents.astype(dtype))
+    return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
 
 def prepare_latents(key: Array, batch: int, height: int, width: int,

@@ -73,6 +73,29 @@ def start_server(port: int = 9999):
     jax.profiler.start_server(port)
 
 
+def compiled_peak_bytes(compiled) -> int:
+    """Peak HBM estimate from a compiled program's memory analysis.
+
+    Fallback for backends whose runtime reports no memory stats (the
+    axon-tunneled TPU): arguments + outputs + XLA temporaries is the
+    program's device-memory high-water mark (weights count once even
+    when aliased as both argument and donation target).
+    """
+    ma = compiled.memory_analysis()
+    total = 0
+    for field in ("argument_size_in_bytes", "output_size_in_bytes",
+                  "temp_size_in_bytes", "generated_code_size_in_bytes"):
+        v = getattr(ma, field, None)
+        if v:
+            total += int(v)
+    alias = getattr(ma, "alias_size_in_bytes", None)
+    if alias:
+        total -= int(alias)
+    if total <= 0:
+        raise ValueError("memory_analysis reported no sizes")
+    return total
+
+
 def device_memory_stats() -> dict:
     """Per-device HBM usage where the backend reports it."""
     out = {}

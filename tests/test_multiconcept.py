@@ -185,3 +185,156 @@ def test_same_seed_reproducible(setup):
     a = multiconcept.sample_stage(**kwargs)
     b = multiconcept.sample_stage(**kwargs)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# Per-concept ControlNet merge semantics (_concept_cn_residuals)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def cn_setup(setup):
+    from omg_tpu import config as cfglib
+    from omg_tpu.models import controlnet as cn_lib
+    import jax.tree_util as jtu
+
+    cfg, params, sched, base, concept, ctl = setup
+    cn_cfg = cfglib.tiny_controlnet()
+    cn_params = cn_lib.init_params(jax.random.PRNGKey(9), cn_cfg)
+    # non-zero heads so residuals are non-trivial
+    cn_params = jtu.tree_map(
+        lambda x: jnp.ones_like(x) * 0.02 if x.ndim == 4 else x, cn_params)
+    rl = jax.random.normal(jax.random.PRNGKey(10), (4, H // 8, W // 8, 4))
+    cond = jax.random.uniform(jax.random.PRNGKey(12), (1, H, W, 3))
+    t = jnp.asarray(500)
+    tembeds = jnp.concatenate([concept.text_embeds, concept.text_embeds])
+    tids = jnp.concatenate([concept.time_ids, concept.time_ids])
+    return cn_cfg, cn_params, rl, cond, t, tembeds, tids, concept
+
+
+def _make_cn(cn_params, cond, scale, ehs=None):
+    return multiconcept.ControlNetInputs(
+        params=cn_params, cond_image=cond, scale=jnp.asarray(scale),
+        encoder_hidden_states=ehs)
+
+
+def test_concept_cn_none_entry_yields_zero_rows(cn_setup):
+    """A concept without a ControlNet contributes exactly-zero residual
+    rows (the reference's per-concept `mask is None` skip), and the stack
+    always covers all 2K lanes — a heterogeneous (cn, None) list used to
+    crash in jnp.broadcast_to."""
+    cn_cfg, cn_params, rl, cond, t, tembeds, tids, concept = cn_setup
+    down, mid = multiconcept._concept_cn_residuals(
+        (_make_cn(cn_params, cond, 0.7), None), (concept, concept),
+        rl, t, tembeds, tids, cn_cfg)
+    assert mid.shape[0] == 4
+    for r in down:
+        assert r.shape[0] == 4
+        np.testing.assert_array_equal(np.asarray(r[2:]), 0.0)
+        assert np.abs(np.asarray(r[:2])).max() > 0
+    np.testing.assert_array_equal(np.asarray(mid[2:]), 0.0)
+
+
+def test_concept_cn_distinct_scales_per_lane(cn_setup):
+    """Two concepts sharing one IdentityNet but with different scales:
+    each concept's residual rows scale independently (round-1 silently
+    used concept 0's scale for every lane)."""
+    cn_cfg, cn_params, rl, cond, t, tembeds, tids, concept = cn_setup
+    # identical lane latents (as in the real pipeline, where all concept
+    # lanes broadcast from the cond-B row) so rows differ only by scale
+    rl_same = jnp.broadcast_to(rl[:1], rl.shape)
+    down, mid = multiconcept._concept_cn_residuals(
+        (_make_cn(cn_params, cond, 0.5), _make_cn(cn_params, cond, 1.0)),
+        (concept, concept), rl_same, t, tembeds, tids, cn_cfg)
+    # same cond/embeds/latents => rows for concept 1 are exactly 2x concept 0's
+    np.testing.assert_allclose(np.asarray(mid[2:]), 2.0 * np.asarray(mid[:2]),
+                               rtol=1e-5)
+    for r in down:
+        np.testing.assert_allclose(np.asarray(r[2:]), 2.0 * np.asarray(r[:2]),
+                                   rtol=1e-5)
+
+
+def test_concept_cn_matches_sequential_reference(cn_setup):
+    """Merged 2K-lane call == running each concept's ControlNet
+    separately at b=2 (the reference's sequential semantics)."""
+    from omg_tpu.models import controlnet as cn_lib
+    cn_cfg, cn_params, rl, cond, t, tembeds, tids, concept = cn_setup
+    cond2 = cond * 0.3
+    down, mid = multiconcept._concept_cn_residuals(
+        (_make_cn(cn_params, cond, 0.5), _make_cn(cn_params, cond2, 0.9)),
+        (concept, concept), rl, t, tembeds, tids, cn_cfg)
+    for k, (c, s) in enumerate([(cond, 0.5), (cond2, 0.9)]):
+        d_ref, m_ref = cn_lib.apply(
+            cn_params, cn_cfg, rl[2 * k:2 * k + 2], t,
+            concept.prompt_embeds, jnp.broadcast_to(c, (2,) + c.shape[1:]),
+            text_embeds=concept.text_embeds, time_ids=concept.time_ids,
+            conditioning_scale=s)
+        np.testing.assert_allclose(np.asarray(mid[2 * k:2 * k + 2]),
+                                   np.asarray(m_ref), rtol=1e-4, atol=1e-5)
+        for a, b in zip(down, d_ref):
+            np.testing.assert_allclose(np.asarray(a[2 * k:2 * k + 2]),
+                                       np.asarray(b), rtol=1e-4, atol=1e-5)
+
+
+def test_concept_cn_distinct_params_raise(cn_setup):
+    """Host-side validation: distinct weight trees must raise (the merged
+    forward would silently drop all but the first), while sharing the
+    same arrays — even through a rebuilt dict — passes."""
+    cn_cfg, cn_params, rl, cond, t, tembeds, tids, concept = cn_setup
+    distinct = jax.tree.map(lambda x: x + 0.0, cn_params)
+    with pytest.raises(ValueError, match="share one params tree"):
+        multiconcept.validate_concept_controlnets(
+            (_make_cn(cn_params, cond, 1.0), _make_cn(distinct, cond, 1.0)))
+    # same leaves, different dict object: fine
+    shallow = dict(cn_params)
+    multiconcept.validate_concept_controlnets(
+        (_make_cn(cn_params, cond, 1.0), _make_cn(shallow, cond, 1.0)))
+    # None entries are skipped
+    multiconcept.validate_concept_controlnets(
+        (None, _make_cn(cn_params, cond, 1.0)))
+
+
+def test_concept_cn_mixed_ehs_raise(cn_setup):
+    cn_cfg, cn_params, rl, cond, t, tembeds, tids, concept = cn_setup
+    d = concept.prompt_embeds.shape[-1]
+    ehs = jax.random.normal(jax.random.PRNGKey(13), (2, 4, d))
+    with pytest.raises(ValueError, match="consistently"):
+        multiconcept._concept_cn_residuals(
+            (_make_cn(cn_params, cond, 1.0, ehs),
+             _make_cn(cn_params, cond, 1.0)),
+            (concept, concept), rl, t, tembeds, tids, cn_cfg)
+
+
+def test_traj_path_with_selfreplace_in_suffix(setup):
+    """3-row trajectory-fed stage 2 == the reference-layout 4-row program
+    when the P2P self-attn replace window overlaps the fusion suffix
+    (SDXL defaults: self_end=20 > boundary=16). Exercises the remapped
+    src_lane=0/dst_lane=2 addressing in self_lane_qk AND cross_lane_out."""
+    cfg, params, sched, base, concept, ctl_unused = setup
+    # self_end = int(6*0.8) = 4 > boundary 2 => steps 2,3 replace self-attn
+    ctl = p2p.P2PControl.build(["a", "a"], num_steps=6,
+                               self_replace_steps=0.8, width=2, height=2)
+    lk = jax.random.split(jax.random.PRNGKey(43), 2)
+    lora = {"mid_block": {"attentions": [{"transformer_blocks": [{
+        "attn1": {"to_v": {
+            "down": jax.random.normal(lk[0], (64, 2)) * 0.3,
+            "up": jax.random.normal(lk[1], (2, 64)) * 0.3,
+            "scale": jnp.asarray(1.0)}}}]}]}}
+    key = jax.random.PRNGKey(19)
+    masks = _masks()
+    slow_kw = dict(cfg=cfg, sched=sched, unet_params=params, key=key,
+                   height=H, width=W, base_inputs=base, controller=ctl,
+                   concept_inputs=[concept, concept],
+                   concept_loras=[lora, lora], masks=masks, fusion_start=1)
+    s2_slow = multiconcept.sample_stage(stage=2, **slow_kw)
+
+    _, cache = multiconcept.sample_stage1_cached(
+        cfg, sched, params, key=key, height=H, width=W, base_inputs=base,
+        fusion_start=1)
+    assert cache.a_traj is not None and cache.a_traj.shape[0] == 4
+    s2_fast = multiconcept.sample_stage2_resumed(
+        cfg, sched, params, cache, base_inputs=base, controller=ctl,
+        concept_inputs=[concept, concept], concept_loras=[lora, lora],
+        masks=masks, fusion_start=1)
+    np.testing.assert_allclose(np.asarray(s2_fast), np.asarray(s2_slow),
+                               atol=2e-4)
