@@ -74,8 +74,20 @@ def sdpa(q: Array, k: Array, v: Array, *, mask: Optional[Array] = None) -> Array
     O(N²) score materialization XLA would emit.
     """
     from omg_tpu.ops import flash_attention as fa
-    if mask is None and fa.use_flash(q.shape[2], k.shape[2], q.shape[3]):
-        return fa.flash_attention(q, k, v)
+    if mask is None:
+        ctx = fa.lane_context()
+        if ctx is not None:
+            # lane-sharded batch (multi-chip latency mode): shard_map the
+            # kernel over the lane axis so each chip keeps its own lanes
+            mesh, axis, interpret = ctx
+            n = mesh.shape[axis]
+            if (q.shape[0] % n == 0
+                    and fa.use_flash(q.shape[2], k.shape[2], q.shape[3],
+                                     allow_interpret=interpret)):
+                return fa.flash_attention_sharded(
+                    q, k, v, mesh=mesh, axis=axis, interpret=interpret)
+        if fa.use_flash(q.shape[2], k.shape[2], q.shape[3]):
+            return fa.flash_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale

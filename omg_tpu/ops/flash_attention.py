@@ -22,7 +22,9 @@ No mask/causal support: diffusion attention is dense. Cross-attention
 
 from __future__ import annotations
 
+import contextlib
 import functools
+import threading
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +35,49 @@ Array = jax.Array
 
 DEFAULT_BQ = 512
 DEFAULT_BK = 1024
+
+# Trace-time counters: multi-chip dry runs assert the kernel path was
+# actually taken (round 1 silently lost the kernel under lane sharding).
+TRACE_STATS = {"flash_calls": 0, "shard_map_calls": 0}
+
+_lane_ctx = threading.local()
+
+
+@contextlib.contextmanager
+def lane_sharded(mesh, axis: str, *, interpret: bool = False):
+    """Trace-time context: route sdpa's flash calls through shard_map.
+
+    GSPMD cannot partition a Pallas custom call — under a lane-sharded
+    batch it would all-gather the lanes onto every chip and run the
+    kernel replicated (or bypass it, as round 1 did). Inside this
+    context, eligible attention runs shard_map'd over ``axis``: each
+    chip runs the kernel on its own lanes with zero collectives (lanes
+    are independent through attention). ``interpret=True`` runs the
+    kernel in Pallas interpreter mode — how CPU dry runs validate the
+    composition on virtual device meshes.
+    """
+    prev = getattr(_lane_ctx, "spec", None)
+    _lane_ctx.spec = (mesh, axis, interpret)
+    try:
+        yield
+    finally:
+        _lane_ctx.spec = prev
+
+
+def lane_context():
+    return getattr(_lane_ctx, "spec", None)
+
+
+def flash_attention_sharded(q: Array, k: Array, v: Array, *, mesh, axis: str,
+                            interpret: bool = False) -> Array:
+    """flash_attention with the batch (lane) axis shard_map'd over ``axis``."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    TRACE_STATS["shard_map_calls"] += 1
+    spec = P(axis)
+    fn = functools.partial(flash_attention, interpret=interpret)
+    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)(q, k, v)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float):
@@ -86,6 +131,7 @@ def flash_attention(q: Array, k: Array, v: Array, *,
     bk_ = pick(nk, bk)
     scale = d ** -0.5
 
+    TRACE_STATS["flash_calls"] += 1
     qf = q.reshape(b * h, nq, d)
     kf = k.reshape(b * h, nk, d)
     vf = v.reshape(b * h, nk, d)
@@ -115,9 +161,16 @@ def flash_attention(q: Array, k: Array, v: Array, *,
     return out.reshape(b, h, nq, d)
 
 
-def use_flash(nq: int, nk: int, head_dim: int) -> bool:
-    """Trace-time routing: flash for large dense self-attention on TPU."""
+def use_flash(nq: int, nk: int, head_dim: int, *,
+              allow_interpret: bool = False) -> bool:
+    """Trace-time routing: flash for large dense self-attention on TPU
+    (or anywhere when the caller runs the kernel interpreted)."""
     if jax.default_backend() != "tpu":
-        return False
+        if not allow_interpret:
+            return False
+        # interpret mode (CPU dry runs): no MXU tiling constraints —
+        # engage on any square self-attention so tiny-geometry dry runs
+        # execute the real kernel logic under shard_map
+        return nq == nk and nq >= 4 and nq % 4 == 0
     return (nq == nk and nq >= 1024 and nq % 128 == 0
             and head_dim in (64, 128))
