@@ -74,6 +74,44 @@ class CLIPTextConfig:
 
 
 @dataclasses.dataclass(frozen=True)
+class CLIPVisionConfig:
+    """CLIP ViT image tower (transformers CLIPVisionModelWithProjection).
+
+    Used by the open-vocabulary detector (segment/detector.py): ranks
+    SAM mask proposals against class texts — the TPU-native stand-in for
+    the reference's external YOLO-World / GroundingDINO detectors
+    (reference: inference_lora.py:91-126, via pip packages)."""
+
+    image_size: int = 224
+    patch_size: int = 32
+    hidden_size: int = 768
+    intermediate_size: int = 3072
+    num_layers: int = 12
+    num_heads: int = 12
+    hidden_act: str = "quick_gelu"
+    projection_dim: int = 512
+    dtype: Any = jnp.float32
+
+
+def clip_vit_b32_vision() -> CLIPVisionConfig:
+    """openai/clip-vit-base-patch32 image tower."""
+    return CLIPVisionConfig()
+
+
+def clip_vit_l14_vision() -> CLIPVisionConfig:
+    """openai/clip-vit-large-patch14 image tower."""
+    return CLIPVisionConfig(
+        patch_size=14, hidden_size=1024, intermediate_size=4096,
+        num_layers=24, num_heads=16, projection_dim=768)
+
+
+def tiny_clip_vision() -> CLIPVisionConfig:
+    return CLIPVisionConfig(
+        image_size=32, patch_size=8, hidden_size=32, intermediate_size=64,
+        num_layers=2, num_heads=4, projection_dim=16)
+
+
+@dataclasses.dataclass(frozen=True)
 class ControlNetConfig:
     """ControlNet-SDXL geometry: UNet encoder + zero-conv heads.
 

@@ -149,6 +149,15 @@ def convert_clip(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
         skip=(r"position_ids", r"logit_scale", r"embeddings\.class_embedding"))
 
 
+def convert_clip_vision(sd_or_path, *, dtype: Any = jnp.float32) -> dict:
+    """transformers CLIPVisionModelWithProjection -> models/clip_vision.py
+    tree (the open-vocab detector's image tower). class_embedding is a
+    real parameter here (unlike the text towers, which skip it)."""
+    sd = load_state_dict(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    return state_dict_to_tree(
+        sd, dtype=dtype, skip=(r"position_ids", r"logit_scale"))
+
+
 def convert_controlnet(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
     """diffusers ControlNetModel state dict -> models/controlnet.py tree."""
     sd = load_state_dict(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path

@@ -23,7 +23,14 @@ import numpy as np
 def build_mask_provider(kind: str, *, sam_checkpoint: str = "",
                         external: Optional[Callable] = None,
                         box_provider: Optional[Callable] = None,
+                        clip_checkpoint: str = "",
+                        clip_text_checkpoint: str = "",
+                        tokenizer=None,
                         **_ignored):
+    """``clip_checkpoint``/``clip_text_checkpoint``: CLIP image/text tower
+    safetensors — when given (and no explicit box_provider), detection is
+    the in-framework open-vocab detector (SAM grid proposals ranked by
+    CLIP, segment/detector.py) instead of the whole-image fallback."""
     kind = (kind or "none").lower()
     if kind in ("none", ""):
         return None
@@ -31,7 +38,26 @@ def build_mask_provider(kind: str, *, sam_checkpoint: str = "",
         if external is None:
             raise ValueError("external mask provider requires `external=`")
         return external
-    if kind in ("sam", "yoloworld", "groundingdino"):
-        from omg_tpu.segment.sam_provider import SamMaskProvider
+    if kind in ("sam", "yoloworld", "groundingdino", "openvocab"):
+        from omg_tpu.segment.sam_provider import (SamMaskProvider,
+                                                  convert_sam_checkpoint)
+        if box_provider is None and clip_checkpoint:
+            from omg_tpu import config as cfglib
+            from omg_tpu import convert
+            from omg_tpu.segment.detector import build_openvocab_detector
+            sam_params = convert_sam_checkpoint(sam_checkpoint)
+            v_cfg = cfglib.clip_vit_b32_vision()
+            v_params = convert.convert_clip_vision(clip_checkpoint)
+            t_cfg = cfglib.sdxl_text_encoder()  # CLIP-L text tower
+            import dataclasses
+            t_cfg = dataclasses.replace(t_cfg, projection_dim=v_cfg.projection_dim)
+            t_params = convert.convert_clip(clip_text_checkpoint or
+                                            clip_checkpoint)
+            box_provider = build_openvocab_detector(
+                sam_params, clip_vision_params=v_params,
+                clip_vision_cfg=v_cfg, clip_text_params=t_params,
+                clip_text_cfg=t_cfg, tokenizer=tokenizer)
+            return SamMaskProvider(params=sam_params,
+                                   box_provider=box_provider)
         return SamMaskProvider(sam_checkpoint, box_provider=box_provider)
     raise ValueError(f"unknown segment kind: {kind}")

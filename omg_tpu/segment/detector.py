@@ -1,0 +1,340 @@
+"""Open-vocabulary per-concept detection: SAM proposals + CLIP ranking.
+
+The reference bridges stage 1 -> stage 2 with an external open-vocab
+detector producing one box per concept word ("man", "woman"): YOLO-World
+via the `inference` pip package or GroundingDINO (reference:
+inference_lora.py:91-126, optional imports :10-27). Neither ships
+weights in-repo — they are host-side ONNX/torch models.
+
+The TPU-native equivalent composes models this framework already runs:
+
+  1. proposals — EfficientViT-SAM prompted with a point grid (the
+     segment-anything automatic-mask idea): every grid point decodes 3
+     candidate masks + predicted IoU; candidates are thresholded and
+     deduplicated by mask-IoU NMS. All decoding is one batched jitted
+     call on the cached image embedding.
+  2. open-vocab labeling — each proposal's padded square crop is scored
+     against the class texts by CLIP image/text cosine similarity
+     (models/clip_vision.py + models/clip.py), "a photo of a {cls}"
+     prompt-ensembled.
+  3. assignment — proposals are assigned to classes greedily by score
+     with an overlap veto, so two concepts never share a region (the
+     failure mode of the round-1 whole-image fallback, where both
+     concepts got the same box and OMG's identity separation collapsed).
+
+Both stages are pluggable: ``proposal_fn`` for a different proposer,
+``embed_image``/``embed_texts`` for a different scorer — which also
+keeps the unit tests weight-free and deterministic.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Array = jax.Array
+
+PROMPT_TEMPLATES = (
+    "a photo of a {}",
+    "a photo of the {}",
+    "a cropped photo of a {}",
+)
+
+
+# --------------------------------------------------------------------------
+# Proposal stage (SAM point grid)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def _decode_point_grid(prompt_params: dict, decoder_params: dict,
+                       embedding: Array, points: Array,
+                       input_size: Array) -> tuple:
+    """points [B, 1, 2] -> (masks [B, 4, s, s], iou [B, 4]) batched."""
+    from omg_tpu.segment import sam_decoder as dec
+    b = points.shape[0]
+    labels = jnp.ones((b, 1), jnp.float32)
+    sparse = dec.encode_points(prompt_params, points, labels, input_size)
+    dense = dec.no_mask_dense(prompt_params, b, embedding.shape[1])
+    emb = jnp.broadcast_to(embedding, (b,) + embedding.shape[1:])
+    return dec.decode_masks(decoder_params, prompt_params, emb, sparse, dense)
+
+
+def _mask_iou(a: np.ndarray, b: np.ndarray) -> float:
+    inter = np.logical_and(a, b).sum()
+    union = np.logical_or(a, b).sum()
+    return float(inter) / max(float(union), 1.0)
+
+
+class Proposal:
+    __slots__ = ("mask", "box", "score")
+
+    def __init__(self, mask: np.ndarray, box: np.ndarray, score: float):
+        self.mask = mask          # [H, W] bool at ORIGINAL image size
+        self.box = box            # xyxy pixels at original size
+        self.score = score        # SAM predicted IoU
+
+
+def _bbox_of(mask: np.ndarray) -> Optional[np.ndarray]:
+    ys, xs = np.nonzero(mask)
+    if len(ys) == 0:
+        return None
+    return np.array([xs.min(), ys.min(), xs.max() + 1, ys.max() + 1],
+                    np.float32)
+
+
+class SamGridProposer:
+    """Point-grid SAM proposal generator over a SamPredictor."""
+
+    def __init__(self, predictor, *, grid: int = 8, iou_thresh: float = 0.7,
+                 nms_thresh: float = 0.7, min_area_frac: float = 0.003,
+                 max_area_frac: float = 0.95, max_proposals: int = 24):
+        self.predictor = predictor
+        self.grid = grid
+        self.iou_thresh = iou_thresh
+        self.nms_thresh = nms_thresh
+        self.min_area_frac = min_area_frac
+        self.max_area_frac = max_area_frac
+        self.max_proposals = max_proposals
+
+    def __call__(self, image: np.ndarray) -> List[Proposal]:
+        pred = self.predictor
+        pred.set_image(image)
+        h, w = image.shape[:2]
+        s = pred.cfg.image_size
+        scale = s / max(h, w)
+        nh, nw = pred._input_size
+
+        g = self.grid
+        xs = (np.arange(g) + 0.5) / g * nw
+        ys = (np.arange(g) + 0.5) / g * nh
+        pts = np.stack(np.meshgrid(xs, ys, indexing="xy"), -1).reshape(-1, 1, 2)
+
+        masks, iou = _decode_point_grid(
+            pred.params["prompt_encoder"], pred.params["mask_decoder"],
+            pred._embedding, jnp.asarray(pts, jnp.float32),
+            jnp.asarray(s, jnp.float32))
+        masks = np.asarray(masks)       # [B, 4, ms, ms] logits
+        iou = np.asarray(iou)
+
+        ms = masks.shape[-1]
+        cand = []
+        for b in range(masks.shape[0]):
+            for k in range(1, 4):       # multimask rows (predictor behavior)
+                if iou[b, k] < self.iou_thresh:
+                    continue
+                m = masks[b, k] > 0.0
+                area = m.mean()
+                # area bounds in the VALID (unpadded) region
+                valid_frac = (nh / s) * (nw / s)
+                if not (self.min_area_frac * valid_frac <= area
+                        <= self.max_area_frac * valid_frac):
+                    continue
+                cand.append((float(iou[b, k]), m))
+        cand.sort(key=lambda t: -t[0])
+
+        kept: List[tuple] = []
+        for score, m in cand:
+            if any(_mask_iou(m, km) > self.nms_thresh for _, km in kept):
+                continue
+            kept.append((score, m))
+            if len(kept) >= self.max_proposals:
+                break
+
+        out = []
+        for score, m in kept:
+            # low-res mask -> original pixel frame (undo pad + resize)
+            mh = int(round(nh / s * ms))
+            mw = int(round(nw / s * ms))
+            m_valid = m[:mh, :mw]
+            import PIL.Image
+            m_full = np.asarray(PIL.Image.fromarray(
+                m_valid.astype(np.uint8) * 255).resize(
+                    (w, h), PIL.Image.NEAREST)) > 127
+            box = _bbox_of(m_full)
+            if box is None:
+                continue
+            out.append(Proposal(m_full, box, score))
+        return out
+
+
+# --------------------------------------------------------------------------
+# CLIP scoring stage
+# --------------------------------------------------------------------------
+
+def clip_embedders(vision_params: dict, vision_cfg, text_params: dict,
+                   text_cfg, tokenizer) -> tuple:
+    """-> (embed_image(crops_uint8) -> [B, D], embed_texts(strs) -> [T, D]),
+    both L2-normalized, prompt-ensembled for texts."""
+    from omg_tpu.models import clip as clip_lib
+    from omg_tpu.models import clip_vision as cv
+
+    @jax.jit
+    def _img(pix):
+        out = cv.apply(vision_params, vision_cfg, pix)
+        e = out.projected.astype(jnp.float32)
+        return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+
+    def embed_image(crops_uint8: np.ndarray) -> np.ndarray:
+        pix = cv.preprocess(crops_uint8, vision_cfg.image_size)
+        return np.asarray(_img(pix))
+
+    @jax.jit
+    def _txt(ids):
+        out = clip_lib.apply(text_params, text_cfg, ids)
+        e = out.projected.astype(jnp.float32)
+        return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
+
+    def embed_texts(texts: Sequence[str]) -> np.ndarray:
+        embs = []
+        for t in texts:
+            ids = jnp.asarray(
+                tokenizer([tpl.format(t) for tpl in PROMPT_TEMPLATES]))
+            e = np.asarray(_txt(ids)).mean(axis=0)
+            embs.append(e / np.linalg.norm(e))
+        return np.stack(embs)
+
+    return embed_image, embed_texts
+
+
+def _square_crop(image: np.ndarray, box: np.ndarray,
+                 pad_frac: float = 0.1) -> np.ndarray:
+    """Padded square crop around a box (CLIP sees some context)."""
+    h, w = image.shape[:2]
+    x0, y0, x1, y1 = box
+    cx, cy = (x0 + x1) / 2, (y0 + y1) / 2
+    side = max(x1 - x0, y1 - y0) * (1 + 2 * pad_frac)
+    x0 = int(max(0, cx - side / 2))
+    y0 = int(max(0, cy - side / 2))
+    x1 = int(min(w, cx + side / 2))
+    y1 = int(min(h, cy + side / 2))
+    return image[y0:y1, x0:x1]
+
+
+# --------------------------------------------------------------------------
+# Detector
+# --------------------------------------------------------------------------
+
+class OpenVocabDetector:
+    """box_provider-compatible detector: ``det(image, text) -> xyxy | None``.
+
+    Proposals and crop embeddings are computed once per image (cached by
+    object identity, like SamMaskProvider's feature cache) and scored
+    against each class text on demand. Assignment is greedy by score
+    with a pairwise box-IoU veto so concepts get disjoint regions.
+    """
+
+    def __init__(self, proposal_fn: Callable, embed_image: Callable,
+                 embed_texts: Callable, *, sim_thresh: float = 0.18,
+                 overlap_thresh: float = 0.5, crop_size: int = 224):
+        self.proposal_fn = proposal_fn
+        self.embed_image = embed_image
+        self.embed_texts = embed_texts
+        self.sim_thresh = sim_thresh
+        self.overlap_thresh = overlap_thresh
+        self.crop_size = crop_size
+        self._cache_key = None
+        self._proposals: List[Proposal] = []
+        self._crop_embeds: Optional[np.ndarray] = None
+        self._text_cache: dict = {}
+        self._assigned: dict = {}
+        self._assigned_indices: dict = {}
+
+    # -- per-image computation -------------------------------------------
+
+    def _prepare(self, image: np.ndarray) -> None:
+        key = id(image)
+        if key == self._cache_key:
+            return
+        self._cache_key = key
+        self._assigned = {}
+        self._assigned_indices = {}
+        self._proposals = self.proposal_fn(image)
+        if not self._proposals:
+            self._crop_embeds = None
+            return
+        import PIL.Image
+        crops = []
+        for p in self._proposals:
+            c = _square_crop(image, p.box)
+            c = np.asarray(PIL.Image.fromarray(c).resize(
+                (self.crop_size, self.crop_size), PIL.Image.BILINEAR))
+            crops.append(c)
+        self._crop_embeds = self.embed_image(np.stack(crops))
+
+    def _text_embed(self, text: str) -> np.ndarray:
+        if text not in self._text_cache:
+            self._text_cache[text] = self.embed_texts([text])[0]
+        return self._text_cache[text]
+
+    @staticmethod
+    def _box_iou(a: np.ndarray, b: np.ndarray) -> float:
+        x0 = max(a[0], b[0]); y0 = max(a[1], b[1])
+        x1 = min(a[2], b[2]); y1 = min(a[3], b[3])
+        inter = max(0.0, x1 - x0) * max(0.0, y1 - y0)
+        ar_a = (a[2] - a[0]) * (a[3] - a[1])
+        ar_b = (b[2] - b[0]) * (b[3] - b[1])
+        return inter / max(ar_a + ar_b - inter, 1e-6)
+
+    def __call__(self, image: np.ndarray, text: str):
+        self._prepare(image)
+        if self._crop_embeds is None:
+            return None
+        if text in self._assigned:
+            return self._assigned[text]
+        sims = self._crop_embeds @ self._text_embed(text)
+        order = np.argsort(-sims)
+        taken = [self._proposals[i].box
+                 for t, i in self._assigned_indices.items() if t != text]
+        for i in order:
+            if sims[i] < self.sim_thresh:
+                break
+            box = self._proposals[i].box
+            if any(self._box_iou(box, tb) > self.overlap_thresh
+                   for tb in taken):
+                continue
+            self._assigned[text] = box
+            self._assigned_indices[text] = int(i)
+            return box
+        self._assigned[text] = None
+        return None
+
+    def masks_for(self, image: np.ndarray, texts: Sequence[str]) -> list:
+        """Convenience: per-class proposal MASKS (skips the second SAM
+        box->mask pass when the proposal mask itself is wanted)."""
+        out = []
+        for t in texts:
+            box = self(image, t)
+            if box is None:
+                out.append(None)
+                continue
+            idx = self._assigned_indices.get(t)
+            out.append(self._proposals[idx].mask.astype(np.float32)
+                       if idx is not None else None)
+        return out
+
+
+def build_openvocab_detector(sam_params: dict, *, sam_cfg=None,
+                             clip_vision_params: dict,
+                             clip_vision_cfg,
+                             clip_text_params: dict,
+                             clip_text_cfg,
+                             tokenizer,
+                             grid: int = 8,
+                             proposer_kwargs: Optional[dict] = None,
+                             **det_kwargs) -> OpenVocabDetector:
+    """Wire the SAM-grid proposer + CLIP embedders into a detector whose
+    ``__call__`` drops into SamMaskProvider's box_provider slot."""
+    from omg_tpu.segment.sam_provider import SamPredictor
+    predictor = SamPredictor(sam_params, sam_cfg)
+    proposer = SamGridProposer(predictor, grid=grid,
+                               **(proposer_kwargs or {}))
+    embed_image, embed_texts = clip_embedders(
+        clip_vision_params, clip_vision_cfg, clip_text_params,
+        clip_text_cfg, tokenizer)
+    return OpenVocabDetector(proposer, embed_image, embed_texts,
+                             crop_size=clip_vision_cfg.image_size,
+                             **det_kwargs)

@@ -60,6 +60,34 @@ def encode_boxes(p: Params, boxes: Array, input_size: int) -> Array:
     return emb
 
 
+def encode_points(p: Params, points: Array, labels: Array,
+                  input_size: int, *, pad: bool = True) -> Array:
+    """points [B, N, 2] pixel xy + labels [B, N] -> sparse [B, N(+1), 256].
+
+    SAM PromptEncoder._embed_points semantics: +0.5 pixel-center shift,
+    Fourier PE, then label embeddings (1 -> point_embeddings[1],
+    0 -> point_embeddings[0], -1 -> not_a_point_embed with zeroed PE).
+    With no box prompt SAM appends one (0,0)/-1 padding point.
+    """
+    if pad:
+        b = points.shape[0]
+        points = jnp.concatenate(
+            [points, jnp.zeros((b, 1, 2), points.dtype)], axis=1)
+        labels = jnp.concatenate(
+            [labels, -jnp.ones((b, 1), labels.dtype)], axis=1)
+    coords = (points + 0.5) / input_size
+    emb = _pe_encode(p["pe_layer"]["positional_encoding_gaussian_matrix"],
+                     coords)
+    lab = labels[..., None]
+    emb = jnp.where(lab == -1,
+                    p["not_a_point_embed"]["weight"][0],
+                    emb
+                    + jnp.where(lab == 1,
+                                p["point_embeddings"][1]["weight"][0],
+                                p["point_embeddings"][0]["weight"][0]))
+    return emb
+
+
 def no_mask_dense(p: Params, batch: int, hw: int = FEAT_HW) -> Array:
     """Dense embedding when no mask prompt is given."""
     w = p["no_mask_embed"]["weight"][0]

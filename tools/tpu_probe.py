@@ -47,6 +47,10 @@ def unet_chain(b):
 
 
 def measure(name, b):
+    if os.environ.get("PROBE_NO_FLASH") == "1":
+        from omg_tpu.ops import flash_attention as fa
+        fa.use_flash = lambda *a, **k: False
+        name += "-noflash"
     run, x0 = unet_chain(b)
     t0 = time.time()
     float(run(params, x0))
@@ -65,3 +69,4 @@ def measure(name, b):
 if __name__ == "__main__":
     for b in [int(v) for v in sys.argv[1:]] or [2, 7, 8]:
         measure("unet", b)
+# appended: env toggles used by ablation sweeps
