@@ -121,6 +121,11 @@ def main():
         lat0 = jax.vmap(lambda k: sdxl.prepare_latents(
             k, 1, H, W, sched, cfg.unet.dtype))(keys)
 
+        # fp32 VAE decode default (reference parity); OMG_BENCH_VAE=bf16
+        # halves decode memory/traffic for serving-style runs.
+        vae_dtype = (jnp.bfloat16 if os.environ.get("OMG_BENCH_VAE") == "bf16"
+                     else jnp.float32)
+
         # params must be jit ARGUMENTS: a closure would capture the 5 GB
         # weight pytree as baked-in constants (and break remote compile).
         two_stage = jax.jit(jax.vmap(
@@ -128,16 +133,24 @@ def main():
                 cfg, sched, up, l0, base, ctl,
                 (concept, concept), tuple(loras), masks),
             in_axes=(None, 0)))
-        # decode only copy B (the deliverable) of each request — fp32 VAE
-        # activations at 1024² are the HBM peak, so keep decode b == R.
-        decode = jax.jit(lambda vp, l: sdxl.decode_latents.__wrapped__(
-            cfg, vp, l[:, 1]))
+
+        # decode only copy B (the deliverable) of each request, ONE
+        # REQUEST AT A TIME: a batched fp32 decode materializes
+        # [R, 1024, 1024, 512] fp32 upsample activations (~2.2 GB per
+        # request) — the round-1 R=4 OOM. Sequential b=1 decodes cap the
+        # VAE's live set at one request regardless of R.
+        decode1 = jax.jit(
+            lambda vp, l: sdxl.decode_latents.__wrapped__(
+                cfg, vp, l, dtype=vae_dtype))
 
         def run():
             _, lat2 = two_stage(unet_params, lat0)
-            img = decode(vae_params, lat2)
-            img.block_until_ready()
-            return img
+            imgs = [decode1(vae_params, lat2[r, 1:2]) for r in range(R)]
+            for im in imgs:
+                im.block_until_ready()
+            # reliable barrier through the axon tunnel (scalar fetch)
+            float(jnp.sum(imgs[-1][..., :1, :1, :1]))
+            return imgs
 
         t0 = time.time()
         run()

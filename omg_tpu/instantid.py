@@ -151,3 +151,31 @@ def encode_face_tokens(params: dict, cfg: ResamplerConfig,
     emb = emb.reshape(1, -1, cfg.embedding_dim)
     stacked = jnp.concatenate([jnp.zeros_like(emb), emb], axis=0)
     return resampler_lib.apply(params, cfg, stacked)
+
+
+def analyze_face(image_rgb: np.ndarray):
+    """-> (kps [5, 2], embedding [512]) for the LARGEST face in the image.
+
+    The reference's FaceAnalysis('antelopev2') flow (inference_instantid.py:
+    226-228; largest-face pick at instantid_pipeline.py:757-768).
+    insightface runs host-side ONNX — once per reference image, off the
+    hot path. Raises with guidance when insightface is unavailable
+    (serving callers can inject a custom face_provider instead).
+    """
+    try:
+        from insightface.app import FaceAnalysis
+    except ImportError as e:
+        raise RuntimeError(
+            "insightface is not installed: pass precomputed "
+            "face_embeddings/face_kps in the request, or inject "
+            "face_provider=... into OMGServer") from e
+    app = FaceAnalysis(name="antelopev2",
+                       providers=["CPUExecutionProvider"])
+    app.prepare(ctx_id=0, det_size=(640, 640))
+    faces = app.get(image_rgb[:, :, ::-1])     # insightface wants BGR
+    if not faces:
+        raise ValueError("no face detected in the reference image")
+    face = max(faces, key=lambda f: (f.bbox[2] - f.bbox[0])
+               * (f.bbox[3] - f.bbox[1]))
+    return np.asarray(face.kps, np.float32), np.asarray(face.embedding,
+                                                        np.float32)

@@ -25,6 +25,7 @@ e.g. the reference's registry gradio_demo/character_template.py):
 from __future__ import annotations
 
 import re
+import jax
 from typing import Any, Optional, Sequence
 
 import jax.numpy as jnp
@@ -227,6 +228,8 @@ def scale_lora(tree: Optional[dict], s: float) -> Optional[dict]:
         return None
     if _is_leaf(tree):
         return {**tree, "scale": tree["scale"] * s}
+    if isinstance(tree, (list, tuple)):
+        return [scale_lora(v, s) for v in tree]
     return {k: scale_lora(v, s) for k, v in tree.items()}
 
 
@@ -328,3 +331,21 @@ def merge_loras(trees: Sequence[Optional[dict]],
         return out
 
     return rec(live)
+
+
+def align_loras(trees: Sequence[Optional[dict]]) -> list:
+    """Make adapter trees structurally identical (union of paths,
+    zero-filled gaps, ranks zero-padded to the max).
+
+    Enables request-axis vmapping over heterogeneous adapters (serving
+    microbatching): after alignment, jax.tree.map(stack, *trees) is
+    valid. Built on stack_loras' union walk — stack then unstack keeps
+    one source of truth for the padding rules.
+    """
+    if all(t is None for t in trees):
+        return [None] * len(trees)
+    stacked = stack_loras(trees, repeat=1)
+    out = []
+    for i in range(len(trees)):
+        out.append(jax.tree.map(lambda x: x[i], stacked))
+    return out

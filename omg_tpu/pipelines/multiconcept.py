@@ -881,6 +881,81 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         lane_sharding=lane_sharding)
 
 
+# --------------------------------------------------------------------------
+# Request-axis batching (serving microbatching)
+#
+# R compatible requests (same resolution/steps/scheduler; per-request
+# prompts, seeds, guidance scales, and — via lora.align_loras —
+# heterogeneous concept adapters) run as ONE vmapped XLA program per
+# stage, with per-request host-side detection between the stages.
+# --------------------------------------------------------------------------
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "height", "width", "fusion_start"))
+def sample_stage1_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                        unet_params: dict, keys: Array,
+                        base_inputs_r: BaseInputs, *, height: int,
+                        width: int,
+                        fusion_start: int = regions.FUSION_START_STEP
+                        ) -> tuple:
+    """Batched stage 1: keys [R] + request-stacked BaseInputs ->
+    (latents [R, 2, h, w, 4], request-stacked StageCache)."""
+    boundary = min(fusion_start + 1, sched.num_steps)
+
+    def one(key, base):
+        lat = sdxl.prepare_latents(key, 1, height, width, sched,
+                                   cfg.unet.dtype)
+        state = schedulers.init_state(sched, lat.shape,
+                                      key=jax.random.fold_in(key, 777))
+        lat_b, st_b = _denoise_cfg_range.__wrapped__(
+            cfg, sched, unet_params, lat, state, base,
+            i0=0, i1=boundary)
+        lat_end, _, traj = _denoise_cfg_range_traj.__wrapped__(
+            cfg, sched, unet_params, lat_b, st_b, base,
+            i0=boundary, i1=sched.num_steps)
+        return (duplicate_latents(lat_end),
+                StageCache(lat_b, st_b, a_traj=traj, a_final=lat_end))
+
+    return jax.vmap(one)(keys, base_inputs_r)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("cfg", "fusion_start",
+                                    "ip_scale_static"))
+def sample_stage2_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                        unet_params: dict, cache_r: StageCache,
+                        base_inputs_r: BaseInputs, controller,
+                        concept_inputs_r: tuple, concept_loras_r: tuple,
+                        masks_r: Array, *,
+                        fusion_start: int = regions.FUSION_START_STEP,
+                        ip_scale_static: float = 1.0) -> Array:
+    """Batched stage 2 over request-stacked inputs -> [R, 2, h, w, 4].
+
+    ``concept_loras_r``: tuple of request-stacked adapter trees — align
+    them first with lora.align_loras so every request shares one tree
+    structure. The controller is shared: OMG always builds it from
+    [prompt, prompt] (identity mapper + the default blend schedule), so
+    it is request-independent for a fixed step count.
+    """
+    boundary = min(fusion_start + 1, sched.num_steps)
+    if boundary >= sched.num_steps:
+        # empty suffix: the fusion gate never opens, stage 2 == stage 1
+        return jax.vmap(lambda c: jnp.concatenate(
+            [c.a_final, c.a_final]))(cache_r)
+
+    def one(cache, base, concepts, loras, masks):
+        lat_b = _denoise_mc_range_traj.__wrapped__(
+            cfg, sched, unet_params, cache.latents, cache.sched_state,
+            cache.a_traj, base, controller, concepts, loras, masks,
+            i0=boundary, fusion_start=fusion_start,
+            ip_scale_static=ip_scale_static)
+        return jnp.concatenate([cache.a_final, lat_b])
+
+    return jax.vmap(one)(cache_r, base_inputs_r, concept_inputs_r,
+                         concept_loras_r, masks_r)
+
+
 def sample_stage(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                  unet_params: dict, *, key: Array, height: int, width: int,
                  base_inputs: BaseInputs,

@@ -251,3 +251,166 @@ class OMG:
         img = sdxl.decode_latents(self.cfg, self.params.vae, latents)
         return np.asarray(
             (img * 255).astype(jnp.uint8))
+
+    # --------------------------------------------------- batched serving
+
+    def _region_conditioning(self, prompt_rewrite: str,
+                             concept_loras: Sequence[Optional[dict]],
+                             style_lora: Optional[dict], tids):
+        """Per-request region prompts -> (concept_inputs, final loras).
+        The LoRA-only subset of generate()'s conditioning build (batched
+        serving covers BASELINE config #5's LoRA path; InstantID /
+        ControlNet requests fall back to the serial path)."""
+        region_specs = rewrite.parse_rewrite(prompt_rewrite)
+        concept_inputs, loras_final = [], []
+        for k, region in enumerate(region_specs):
+            tree_k = concept_loras[k] if k < len(concept_loras) else None
+            te_lora = (None, None)
+            if tree_k is not None and isinstance(tree_k, dict):
+                def te_merged(key):
+                    char = tree_k.get(key)
+                    style = (style_lora.get(key)
+                             if isinstance(style_lora, dict) else None)
+                    if style is not None and char is not None:
+                        return lora_lib.merge_loras(
+                            [char, style], list(self.char_style_weights))
+                    return char if char is not None else style
+                te_lora = (te_merged("text_encoder") or None,
+                           te_merged("text_encoder_2") or None)
+            rep_, rpp, ren, rpn = self.encode(region.prompt,
+                                              region.negative_prompt,
+                                              te_lora=te_lora)
+            concept_inputs.append(multiconcept.make_concept_inputs(
+                rep_, rpp, ren, rpn, tids))
+            unet_tree = tree_k.get("unet", tree_k) if tree_k else None
+            style_tree = (style_lora.get("unet", style_lora)
+                          if style_lora is not None else None)
+            merged = (lora_lib.merge_loras(
+                [unet_tree, style_tree], list(self.char_style_weights))
+                if style_tree is not None else unet_tree)
+            loras_final.append(
+                lora_lib.scale_lora(merged, self.concept_lora_scale))
+        return region_specs, concept_inputs, loras_final
+
+    def generate_batch(self, requests: Sequence[dict]
+                       ) -> List[GenerationResult]:
+        """R compatible requests as ONE vmapped program per stage.
+
+        Request dicts take generate()'s keyword arguments (LoRA subset:
+        prompt/negative_prompt/prompt_rewrite/concept_loras/style_lora/
+        seed/guidance_scale). All requests must share height/width/steps
+        (one compiled program; the server buckets by these). Detection
+        still runs per-request on the host between the stages. Plays the
+        batched half of BASELINE config #5 that the reference's gradio
+        app never had (it serves strictly serially, app.py:359-473).
+        """
+        def serial(rs):
+            out = []
+            for r in rs:
+                r = dict(r)
+                out.append(self.generate(r.pop("prompt"), **r))
+            return out
+
+        unsupported = ("instantid", "face_embeddings", "face_kps_image",
+                       "spatial_condition", "controlnet_params", "masks")
+        if len(requests) == 1 or any(
+                r.get(k) for r in requests for k in unsupported):
+            return serial(requests)
+        steps = requests[0].get("num_steps") or self.num_steps
+        height = requests[0].get("height", 1024)
+        width = requests[0].get("width", 1024)
+        for r in requests[1:]:
+            if ((r.get("num_steps") or self.num_steps, r.get("height", 1024),
+                 r.get("width", 1024)) != (steps, height, width)):
+                raise ValueError("batched requests must share "
+                                 "height/width/steps (bucket them)")
+        fusion_start = round(steps * regions_lib.FUSION_START_STEP / 50)
+        sched = schedulers.make_schedule(self.scheduler, steps)
+        tids = sdxl.add_time_ids((height, width), (0, 0), (height, width))
+
+        base_list, concepts_list, loras_list, specs_list = [], [], [], []
+        for r in requests:
+            ep, pp, en, pn = self.encode(r["prompt"],
+                                         r.get("negative_prompt", ""))
+            base_list.append(multiconcept.make_base_inputs(
+                ep, pp, en, pn, tids, r.get("guidance_scale", 7.5)))
+            specs, concepts, loras = self._region_conditioning(
+                r.get("prompt_rewrite", ""), r.get("concept_loras", ()),
+                r.get("style_lora"), tids)
+            specs_list.append(specs)
+            concepts_list.append(concepts)
+            loras_list.append(loras)
+
+        # pad every request to the same concept count with no-op slots
+        # (zero mask => fusion no-op, regions.make_concept_mask_stack)
+        max_k = max((len(c) for c in concepts_list), default=0)
+        neutral = None
+        for r_i in range(len(requests)):
+            while len(concepts_list[r_i]) < max_k:
+                if neutral is None:
+                    ep, pp, en, pn = self.encode("", "")
+                    neutral = multiconcept.make_concept_inputs(
+                        ep, pp, en, pn, tids)
+                concepts_list[r_i] = list(concepts_list[r_i]) + [neutral]
+                loras_list[r_i] = list(loras_list[r_i]) + [None]
+
+        def stack(*xs):
+            return jax.tree.map(lambda *ls: jnp.stack(ls), *xs)
+
+        base_r = stack(*base_list)
+        keys = jnp.stack([jax.random.PRNGKey(int(r.get("seed", 14)))
+                          for r in requests])
+
+        lat1_r, cache_r = multiconcept.sample_stage1_batch(
+            self.cfg, sched, self.params.unet, keys, base_r,
+            height=height, width=width, fusion_start=fusion_start)
+
+        results = []
+        masks_per_req = []
+        any_stage2 = False
+        for r_i, r in enumerate(requests):
+            img1 = self._decode(lat1_r[r_i])
+            masks = []
+            classes = r.get("detection_classes", ("man", "woman"))
+            for k in range(len(specs_list[r_i])):
+                cls = classes[k] if k < len(classes) else None
+                m = None
+                if (cls and self.mask_provider is not None
+                        and self._token_in_prompt(cls, r["prompt"])):
+                    m = self.mask_provider(img1[1], cls)
+                masks.append(m)
+            any_stage2 = any_stage2 or any(m is not None for m in masks)
+            masks_per_req.append(masks)
+            results.append(GenerationResult(stage1=img1, stage2=None,
+                                            masks=masks))
+
+        if max_k == 0 or not any_stage2:
+            return results
+
+        mask_stacks = jnp.stack([
+            regions_lib.make_concept_mask_stack(
+                masks_per_req[r_i], (height // 8, width // 8), max_k)
+            for r_i in range(len(requests))])
+        controller = p2p.P2PControl.build(
+            [requests[0]["prompt"]] * 2, steps, cross_replace_steps=1.0,
+            self_replace_steps=0.4, width=width // 32, height=height // 32,
+            tokenizer=self.tokenizer)
+        concepts_r = tuple(
+            stack(*[concepts_list[r_i][k] for r_i in range(len(requests))])
+            for k in range(max_k))
+        loras_r = tuple(
+            lora_lib.align_loras(
+                [loras_list[r_i][k] for r_i in range(len(requests))])
+            for k in range(max_k))
+        loras_r = tuple(
+            (stack(*t) if any(x is not None for x in t) else None)
+            for t in loras_r)
+
+        lat2_r = multiconcept.sample_stage2_batch(
+            self.cfg, sched, self.params.unet, cache_r, base_r, controller,
+            concepts_r, loras_r, mask_stacks, fusion_start=fusion_start)
+        for r_i in range(len(requests)):
+            if any(m is not None for m in masks_per_req[r_i]):
+                results[r_i] = dataclasses.replace(
+                    results[r_i], stage2=self._decode(lat2_r[r_i]))
+        return results

@@ -17,10 +17,13 @@ API:
        "guidance_scale": float, "steps": int}
     response: {"image": base64 PNG, "stage1": base64 PNG, "seconds": float}
 
-Requests are processed serially by a single worker thread: TPU programs
-are latency-bound and the engine's compiled-program cache is keyed on
-shapes, so serial execution with bucketed resolutions maximizes
-throughput-per-chip (images/min/chip is the serving metric).
+Requests are processed by a single worker thread that DRAINS the queue:
+up to ``max_batch`` compatible LoRA-path requests (same resolution
+bucket and step count) run as one vmapped two-stage program via
+OMG.generate_batch — the batched half of BASELINE config #5 the
+reference's gradio app lacks (it serves strictly serially,
+gradio_demo/app.py:359-473). Incompatible or InstantID/ControlNet
+requests fall back to per-request execution.
 """
 
 from __future__ import annotations
@@ -57,30 +60,77 @@ Seed:<input name=seed value=42> Steps:<input name=steps value=50>
 
 class OMGServer:
     def __init__(self, engine, registry: Optional[Registry] = None,
-                 instantid=None):
+                 instantid=None, max_batch: int = 4,
+                 face_provider=None):
         """``instantid``: optional pipelines.omg.InstantIDModels — enables
         the OMG+InstantID serving path (role of app_instantID.py):
-        requests carry per-concept ``face_embeddings`` (512-d lists) and
-        optional ``face_kps`` ([[5,2]] per face) for the IdentityNet
-        condition image."""
+        requests carry per-concept ``face_embeddings`` (512-d lists),
+        optional ``face_kps`` ([[5,2]] per face), or raw ``face_images``
+        (base64 PNG/JPEG) analyzed server-side by ``face_provider``
+        (image_rgb -> (kps [5,2], embedding [512]); defaults to
+        insightface antelopev2 when installed — the reference's in-app
+        FaceAnalysis flow, app_instantID.py:513-520).
+        ``max_batch``: queue-drain width for microbatched serving."""
         self.engine = engine
         self.instantid = instantid
         self.registry = registry or Registry()
         self.loras = self.registry.lora_cache(lora_lib.load_lora)
+        self.max_batch = max(1, int(max_batch))
+        self.face_provider = face_provider
         self._work: "queue.Queue" = queue.Queue()
         self._worker = threading.Thread(target=self._run_worker, daemon=True)
         self._worker.start()
 
     # ------------------------------------------------------------- worker
 
+    @staticmethod
+    def _bucket(job: dict) -> tuple:
+        h = int(job.get("height", 1024))
+        w = int(job.get("width", 1024))
+        if min(h, w) >= 512:
+            h, w = conditions.snap_resolution(h, w)
+        return h, w, int(job.get("steps", 0))
+
+    def _batchable(self, job: dict) -> bool:
+        return not (job.get("face_embeddings") or job.get("face_images")
+                    or job.get("face_kps") or job.get("prompt_rewrite_raw"))
+
     def _run_worker(self):
         while True:
-            job, done = self._work.get()
+            first = self._work.get()
+            batch = [first]
+            # drain compatible LoRA-path jobs into one vmapped program
+            if self._batchable(first[0]):
+                key = self._bucket(first[0])
+                while len(batch) < self.max_batch:
+                    try:
+                        nxt = self._work.get_nowait()
+                    except queue.Empty:
+                        break
+                    if (self._batchable(nxt[0])
+                            and self._bucket(nxt[0]) == key):
+                        batch.append(nxt)
+                    else:
+                        # incompatible: run it alone on the next loop
+                        self._work.put(nxt)
+                        break
+            if len(batch) == 1:
+                job, done = batch[0]
+                try:
+                    done["result"] = self._generate(job)
+                except Exception as e:  # surfaced to the client as 500
+                    done["error"] = str(e)
+                done["event"].set()
+                continue
             try:
-                done["result"] = self._generate(job)
-            except Exception as e:  # surfaced to the client as 500
-                done["error"] = str(e)
-            done["event"].set()
+                results = self._generate_batch([j for j, _ in batch])
+                for (_, done), res in zip(batch, results):
+                    done["result"] = res
+                    done["event"].set()
+            except Exception as e:
+                for _, done in batch:
+                    done["error"] = str(e)
+                    done["event"].set()
 
     def submit(self, job: dict) -> dict:
         done = {"event": threading.Event()}
@@ -97,11 +147,17 @@ class OMGServer:
         return (reg.characters_man.get(name)
                 or reg.characters_woman.get(name))
 
-    def _generate(self, job: dict) -> dict:
-        t0 = time.time()
-        prompt = job["prompt"]
-        neg = job.get("negative_prompt",
-                      "noisy, blurry, soft, deformed, ugly")
+    def _face_info(self, image_rgb: np.ndarray):
+        """(kps [5,2], embedding [512]) for the largest face — pluggable;
+        defaults to insightface antelopev2 (the reference's FaceAnalysis,
+        inference_instantid.py:226-228)."""
+        if self.face_provider is not None:
+            return self.face_provider(image_rgb)
+        from omg_tpu import instantid as iid_lib
+        return iid_lib.analyze_face(image_rgb)
+
+    def _job_to_request(self, job: dict) -> dict:
+        """HTTP job dict -> OMG.generate keyword arguments."""
         height = int(job.get("height", 1024))
         width = int(job.get("width", 1024))
         if min(height, width) >= 512:
@@ -121,40 +177,76 @@ class OMGServer:
         style = self.loras.get(job.get("style", ""))
 
         iid_kwargs = {}
-        if self.instantid is not None and job.get("face_embeddings"):
-            from omg_tpu import instantid as iid_lib
+        embeds, all_kps = None, []
+        if self.instantid is not None and job.get("face_images"):
+            # raw reference face photos: analyze server-side (the
+            # reference's app_instantID.py upload flow, :513-520)
+            import PIL.Image
+            embeds = []
+            for b64 in job["face_images"]:
+                if not b64:
+                    embeds.append(None)
+                    continue
+                img = np.asarray(PIL.Image.open(
+                    io.BytesIO(base64.b64decode(b64))).convert("RGB"))
+                kps, emb = self._face_info(img)
+                embeds.append(np.asarray(emb, np.float32))
+                all_kps.append(np.asarray(kps, np.float32))
+        elif self.instantid is not None and job.get("face_embeddings"):
             embeds = [np.asarray(e, np.float32) if e is not None else None
                       for e in job["face_embeddings"]]
-            kps_img = None
+        if embeds is not None:
+            from omg_tpu import instantid as iid_lib
             if job.get("face_kps"):
-                kps = [np.asarray(k, np.float32) for k in job["face_kps"]]
-                kps_img = iid_lib.draw_kps(height, width, kps)
+                all_kps = [np.asarray(k, np.float32)
+                           for k in job["face_kps"]]
+            kps_img = (iid_lib.draw_kps(height, width, all_kps)
+                       if all_kps else None)
             iid_kwargs = dict(instantid=self.instantid,
                               face_embeddings=embeds,
                               face_kps_image=kps_img)
 
-        with trace("serve/generate"):
-            result = self.engine.generate(
-                prompt, negative_prompt=neg, prompt_rewrite=rewrite,
-                concept_loras=concept_loras, style_lora=style,
-                seed=int(job.get("seed", 42)), height=height, width=width,
-                guidance_scale=float(job.get("guidance_scale", 7.5)),
-                num_steps=int(job.get("steps", 0)) or None,
-                **iid_kwargs)
-        METRICS.count("images_generated")
+        return dict(
+            prompt=job["prompt"],
+            negative_prompt=job.get("negative_prompt",
+                                    "noisy, blurry, soft, deformed, ugly"),
+            prompt_rewrite=rewrite, concept_loras=concept_loras,
+            style_lora=style, seed=int(job.get("seed", 42)),
+            height=height, width=width,
+            guidance_scale=float(job.get("guidance_scale", 7.5)),
+            num_steps=int(job.get("steps", 0)) or None, **iid_kwargs)
 
+    @staticmethod
+    def _payload(result, t0: float, height: int, width: int) -> dict:
         def png_b64(arr):
             import PIL.Image
             buf = io.BytesIO()
             PIL.Image.fromarray(arr).save(buf, "PNG")
             return base64.b64encode(buf.getvalue()).decode()
 
+        METRICS.count("images_generated")
         return {
             "image": png_b64(result.image),
             "stage1": png_b64(result.stage1[1]),
             "seconds": round(time.time() - t0, 3),
             "height": height, "width": width,
         }
+
+    def _generate(self, job: dict) -> dict:
+        t0 = time.time()
+        req = self._job_to_request(job)
+        with trace("serve/generate"):
+            result = self.engine.generate(req.pop("prompt"), **req)
+        return self._payload(result, t0, req["height"], req["width"])
+
+    def _generate_batch(self, jobs: list) -> list:
+        t0 = time.time()
+        reqs = [self._job_to_request(j) for j in jobs]
+        with trace("serve/generate_batch"):
+            results = self.engine.generate_batch(reqs)
+        METRICS.count("batched_requests", len(jobs))
+        return [self._payload(r, t0, q["height"], q["width"])
+                for r, q in zip(results, reqs)]
 
     # -------------------------------------------------------------- serve
 
