@@ -806,14 +806,23 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                          width: int, base_inputs: BaseInputs,
                          fusion_start: int = regions.FUSION_START_STEP,
                          base_controlnets: Sequence = (),
-                         cn_cfg=None) -> tuple:
+                         cn_cfg=None,
+                         initial_noise: Optional[Array] = None) -> tuple:
     """Stage 1 via the dedup fast path -> ([2, h, w, 4] latents, StageCache).
 
     The post-boundary suffix records its per-step input latents (copy A's
     stage-2 trajectory — bit-identical by the fusion/P2P row analysis in
     StageCache) so stage 2 can run the 3+2K-lane program.
     """
-    lat = sdxl.prepare_latents(key, 1, height, width, sched, cfg.unet.dtype)
+    if initial_noise is not None:
+        # externally supplied unit noise (e.g. torch.Generator noise for
+        # the fidelity harness — eliminates PRNG mismatch vs the torch
+        # reference, tools/fidelity_harness.py)
+        lat = schedulers.scale_initial_noise(
+            sched, jnp.asarray(initial_noise, cfg.unet.dtype))
+    else:
+        lat = sdxl.prepare_latents(key, 1, height, width, sched,
+                                   cfg.unet.dtype)
     # stochastic schedulers (LCM re-noising) draw from a seed-derived key
     state = schedulers.init_state(sched, lat.shape,
                                   key=jax.random.fold_in(key, 777))

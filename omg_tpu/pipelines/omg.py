@@ -118,6 +118,7 @@ class OMG:
                  face_kps_image: Optional[np.ndarray] = None,
                  masks: Optional[Sequence[Optional[np.ndarray]]] = None,
                  fusion_start: Optional[int] = None,
+                 initial_noise: Optional[np.ndarray] = None,
                  ) -> GenerationResult:
         steps = num_steps or self.num_steps
         if fusion_start is None:
@@ -212,7 +213,8 @@ class OMG:
             self.cfg, sched, self.params.unet, key=key, height=height,
             width=width, base_inputs=base_inputs,
             fusion_start=fusion_start,
-            base_controlnets=base_cns, cn_cfg=self.cn_cfg)
+            base_controlnets=base_cns, cn_cfg=self.cn_cfg,
+            initial_noise=initial_noise)
         img1 = self._decode(lat1)
 
         # --- masks -----------------------------------------------------

@@ -22,17 +22,19 @@ ctx = jax.random.normal(jax.random.PRNGKey(1), (B, 77, 2048), dt)
 temb = jax.random.normal(jax.random.PRNGKey(2), (B, 1280), dt)
 
 
-def timeit(name, fn, x, count):
+def timeit(name, fn, p, x, count):
+    # params are jit ARGUMENTS (closure constants bake into the remote
+    # compile payload and blow the tunnel's request size limit)
     @jax.jit
-    def run(x):
+    def run(p, x):
         def body(i, x):
-            return fn(x) * 0.999
+            return fn(p, x) * 0.999
         x = jax.lax.fori_loop(0, ITERS, body, x)
         return jnp.sum(x[..., :1])
-    t0 = time.time(); float(run(x)); c = time.time() - t0
+    t0 = time.time(); float(run(p, x)); c = time.time() - t0
     ts = []
     for _ in range(3):
-        t0 = time.time(); float(run(x)); ts.append(time.time() - t0)
+        t0 = time.time(); float(run(p, x)); ts.append(time.time() - t0)
     ms = np.median(ts) / ITERS * 1000
     print(f"{name}: {ms:.2f} ms x{count} = {ms*count:.1f} ms/step "
           f"(compile {c:.0f}s)", flush=True)
@@ -42,22 +44,22 @@ def timeit(name, fn, x, count):
 def transformer(dim, depth, hw):
     p = unet_lib._init_transformer(jax.random.PRNGKey(0), dim, depth, 2048, 64, 32, dt)
     x = jax.random.normal(jax.random.PRNGKey(3), (B, hw, hw, dim), dt)
-    def fn(x):
+    def fn(p, x):
         c = unet_lib._AttnCtx(ctx, None, None, None, 1.0, None)
         return unet_lib._transformer(p, x, c, 64, 32, None)
-    return fn, x
+    return fn, p, x
 
 
 def resnet(ch, hw):
     p = unet_lib._init_resnet(jax.random.PRNGKey(0), ch, ch, 1280, 32, dt)
     x = jax.random.normal(jax.random.PRNGKey(3), (B, hw, hw, ch), dt)
-    return (lambda x: unet_lib._resnet(p, x, temb, 32)), x
+    return (lambda p, x: unet_lib._resnet(p, x, temb, 32)), p, x
 
 
 total = 0
-fn, x = transformer(1280, 10, 32); total += timeit("tfm32_d10", fn, x, 6)
-fn, x = transformer(640, 2, 64);   total += timeit("tfm64_d2", fn, x, 5)
-fn, x = resnet(1280, 32);          total += timeit("res32", fn, x, 7)
-fn, x = resnet(640, 64);           total += timeit("res64", fn, x, 5)
-fn, x = resnet(320, 128);          total += timeit("res128", fn, x, 5)
+fn, p, x = transformer(1280, 10, 32); total += timeit("tfm32_d10", fn, p, x, 6)
+fn, p, x = transformer(640, 2, 64);   total += timeit("tfm64_d2", fn, p, x, 5)
+fn, p, x = resnet(1280, 32);          total += timeit("res32", fn, p, x, 7)
+fn, p, x = resnet(640, 64);           total += timeit("res64", fn, p, x, 5)
+fn, p, x = resnet(320, 128);          total += timeit("res128", fn, p, x, 5)
 print(f"sum of parts: {total:.0f} ms/step (measured full step: ~470 ms)")
