@@ -27,6 +27,18 @@ def main():
                    help="InstantID IdentityNet ControlNet dir")
     p.add_argument("--warmup", action="store_true",
                    help="AOT-compile all resolution buckets before serving")
+    # spatial-condition stack (reference: app.py:216-226,315-357,572-578)
+    p.add_argument("--openpose_checkpoint", default="",
+                   help="ControlNet-openpose-sdxl dir (enables kind=pose)")
+    p.add_argument("--canny_checkpoint", default="",
+                   help="ControlNet-canny-sdxl dir (enables kind=canny)")
+    p.add_argument("--depth_checkpoint", default="",
+                   help="ControlNet-depth-sdxl dir (enables kind=depth)")
+    p.add_argument("--pose_detector_checkpoint", default="",
+                   help="OpenPose body_pose_model.pth (photo->pose server-"
+                        "side; otherwise pose maps must be precomputed)")
+    p.add_argument("--dpt_checkpoint", default="",
+                   help="DPT depth model dir (photo->depth server-side)")
     args = p.parse_args()
 
     from omg_tpu import loader
@@ -60,11 +72,31 @@ def main():
             ip_adapter_layers=adapter["ip_adapter"],
             identitynet_params=idnet_params, identitynet_cfg=idnet_cfg)
 
+    controlnets = {}
+    for kind, path in (("pose", args.openpose_checkpoint),
+                       ("canny", args.canny_checkpoint),
+                       ("depth", args.depth_checkpoint)):
+        if path:
+            cn_cfg, cn_params = loader.load_controlnet(path)
+            controlnets[kind] = cn_params
+            engine.cn_cfg = engine.cn_cfg or cn_cfg
+    pose_provider = None
+    if args.pose_detector_checkpoint:
+        from omg_tpu.models import openpose
+        pose_provider = openpose.load_body_model(
+            args.pose_detector_checkpoint)
+    depth_provider = None
+    if args.dpt_checkpoint:
+        from omg_tpu.models import dpt as dpt_lib
+        depth_provider = dpt_lib.load_depth_model(args.dpt_checkpoint)
+
     if args.warmup:
         from omg_tpu.serving.warmup import default_serving_warmup
         default_serving_warmup(cfg, steps=args.num_steps)
 
-    OMGServer(engine, registry, instantid=iid).serve(args.host, args.port)
+    OMGServer(engine, registry, instantid=iid, controlnets=controlnets,
+              pose_provider=pose_provider,
+              depth_provider=depth_provider).serve(args.host, args.port)
 
 
 if __name__ == "__main__":

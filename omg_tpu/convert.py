@@ -164,6 +164,109 @@ def convert_controlnet(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
     return state_dict_to_tree(sd, dtype=dtype, skip=_UNET_SKIP)
 
 
+def convert_dpt(sd_or_path, cfg=None, *, dtype: Any = jnp.float32) -> dict:
+    """transformers DPTForDepthEstimation (plain-ViT backbone) state dict
+    -> models/dpt.py tree. ConvTranspose resize weights (torch IOHW) are
+    stored [kH, kW, in, out] for the einsum depth-to-space formulation."""
+    sd = load_state_dict(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    from omg_tpu.models import dpt as dpt_lib
+    if cfg is None:
+        cfg = dpt_lib.DPTConfig()
+
+    def f32(v):
+        a = np.asarray(v)
+        return a.astype(np.float32) if a.dtype in (np.float16, np.float64) \
+            else a
+
+    def lin(prefix):
+        p = {"weight": jnp.asarray(f32(sd[prefix + ".weight"]).T, dtype)}
+        if prefix + ".bias" in sd:
+            p["bias"] = jnp.asarray(f32(sd[prefix + ".bias"]), dtype)
+        return p
+
+    def conv(prefix, bias=True):
+        p = {"weight": jnp.asarray(
+            f32(sd[prefix + ".weight"]).transpose(2, 3, 1, 0), dtype)}
+        if bias and prefix + ".bias" in sd:
+            p["bias"] = jnp.asarray(f32(sd[prefix + ".bias"]), dtype)
+        return p
+
+    def norm(prefix):
+        return {"weight": jnp.asarray(f32(sd[prefix + ".weight"]), dtype),
+                "bias": jnp.asarray(f32(sd[prefix + ".bias"]), dtype)}
+
+    enc = []
+    for i in range(cfg.num_hidden_layers):
+        b = f"dpt.encoder.layer.{i}"
+        enc.append({
+            "layernorm_before": norm(f"{b}.layernorm_before"),
+            "attention": {
+                "query": lin(f"{b}.attention.attention.query"),
+                "key": lin(f"{b}.attention.attention.key"),
+                "value": lin(f"{b}.attention.attention.value"),
+                "output": lin(f"{b}.attention.output.dense"),
+            },
+            "layernorm_after": norm(f"{b}.layernorm_after"),
+            "intermediate": lin(f"{b}.intermediate.dense"),
+            "output": lin(f"{b}.output.dense"),
+        })
+
+    reassemble = []
+    for i, factor in enumerate(cfg.reassemble_factors):
+        entry = {
+            "readout": lin(f"neck.reassemble_stage.readout_projects.{i}.0"),
+            "projection": conv(f"neck.reassemble_stage.layers.{i}.projection"),
+        }
+        rz = f"neck.reassemble_stage.layers.{i}.resize"
+        if factor > 1:
+            # torch ConvTranspose2d weight [in, out, kH, kW] -> [kH,kW,in,out]
+            entry["resize_up"] = {
+                "weight": jnp.asarray(
+                    f32(sd[rz + ".weight"]).transpose(2, 3, 0, 1), dtype),
+                "bias": jnp.asarray(f32(sd[rz + ".bias"]), dtype),
+            }
+        elif factor < 1:
+            entry["resize_down"] = conv(rz)
+        reassemble.append(entry)
+
+    fusion = []
+    for i in range(len(cfg.neck_hidden_sizes)):
+        b = f"neck.fusion_stage.layers.{i}"
+        fusion.append({
+            "projection": conv(f"{b}.projection"),
+            "residual_layer1": {
+                "convolution1": conv(f"{b}.residual_layer1.convolution1"),
+                "convolution2": conv(f"{b}.residual_layer1.convolution2"),
+            },
+            "residual_layer2": {
+                "convolution1": conv(f"{b}.residual_layer2.convolution1"),
+                "convolution2": conv(f"{b}.residual_layer2.convolution2"),
+            },
+        })
+
+    return {
+        "embeddings": {
+            "cls_token": jnp.asarray(
+                f32(sd["dpt.embeddings.cls_token"]), dtype),
+            "position_embeddings": jnp.asarray(
+                f32(sd["dpt.embeddings.position_embeddings"]), dtype),
+            "projection": conv("dpt.embeddings.patch_embeddings.projection"),
+        },
+        "encoder": enc,
+        "neck": {
+            "reassemble": reassemble,
+            "convs": [conv(f"neck.convs.{i}", bias=False)
+                      for i in range(len(cfg.neck_hidden_sizes))],
+            "fusion": fusion,
+        },
+        "head": {
+            "conv1": conv("head.head.0"),
+            "conv2": conv("head.head.2"),
+            "conv3": conv("head.head.4"),
+        },
+    }
+
+
 def convert_ip_adapter(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
     """InstantID / IP-Adapter ``.bin`` -> {"image_proj": resampler tree,
     "ip_adapter": [ {to_k_ip, to_v_ip} ] in attn2 traversal order}.

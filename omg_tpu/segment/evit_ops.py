@@ -223,3 +223,30 @@ def bilinear_resize(x: Array, size: tuple) -> Array:
     y = jnp.einsum("oh,bhwc->bowc", mh, xf)
     y = jnp.einsum("ow,bhwc->bhoc", mw, y)
     return y.astype(x.dtype)
+
+
+@functools.lru_cache(maxsize=64)
+def _bilinear_ac_matrix(n_in: int, n_out: int) -> np.ndarray:
+    """[n_out, n_in] torch-exact bilinear with align_corners=True
+    (src = i * (n_in-1)/(n_out-1)); DPT's fusion/head upsampling uses
+    this convention (transformers DPTFeatureFusionLayer align_corners)."""
+    m = np.zeros((n_out, n_in), np.float32)
+    scale = (n_in - 1) / (n_out - 1) if n_out > 1 else 0.0
+    for i in range(n_out):
+        src = i * scale
+        j0 = int(np.floor(src))
+        frac = src - j0
+        j1 = min(j0 + 1, n_in - 1)
+        m[i, j0] += 1.0 - frac
+        m[i, j1] += frac
+    return m
+
+
+def bilinear_resize_ac(x: Array, size: tuple) -> Array:
+    """torch-exact bilinear (align_corners=True) on NHWC via matmuls."""
+    mh = jnp.asarray(_bilinear_ac_matrix(x.shape[1], size[0]))
+    mw = jnp.asarray(_bilinear_ac_matrix(x.shape[2], size[1]))
+    xf = x.astype(jnp.float32)
+    y = jnp.einsum("oh,bhwc->bowc", mh, xf)
+    y = jnp.einsum("ow,bhwc->bhoc", mw, y)
+    return y.astype(x.dtype)

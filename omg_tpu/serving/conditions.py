@@ -50,14 +50,43 @@ def canny(image: np.ndarray, low: int = 100, high: int = 200) -> np.ndarray:
     return np.stack([edges] * 3, axis=-1)
 
 
+# Reference UI condition labels -> canonical kinds (app.py:310-314).
+_KINDS = {"human pose": "pose", "canny edge": "canny", "depth": "depth",
+          "pose": "pose", "canny": "canny"}
+
+
+def condition_kind(kind: Optional[str]) -> Optional[str]:
+    if kind in (None, "", "None"):
+        return None
+    return _KINDS.get(kind.strip().lower(), kind.strip().lower())
+
+
 def prepare_condition(image: Optional[np.ndarray], kind: str,
-                      height: int, width: int) -> Optional[np.ndarray]:
-    """kind in {None, 'canny', 'pose', 'depth'}. pose/depth images are
-    expected to be precomputed maps (the reference runs OpenPose / DPT
-    host models, app.py:315-318,340-357 — external to this framework)."""
-    if image is None or kind in (None, "", "None"):
+                      height: int, width: int, *,
+                      pose_provider=None,
+                      depth_provider=None) -> Optional[np.ndarray]:
+    """Photo -> ControlNet condition map at (height, width).
+
+    kind in {None, 'canny', 'pose', 'depth'} (or the reference UI labels
+    'Human pose' / 'Canny Edge' / 'Depth', app.py:310-314).
+      * canny: cv2 edges (reference: app.py:332-338)
+      * pose:  ``pose_provider(photo) -> skeleton map`` — the in-framework
+        OpenPose body model (models/openpose.py:BodyEstimator), matching
+        the reference's controlnet_aux flow (app.py:315-330)
+      * depth: ``depth_provider(photo, out_size) -> inverse-depth map`` —
+        the in-framework DPT (models/dpt.py:DepthEstimator), matching
+        app.py:340-357.
+    Without a provider, a pose/depth image is passed through as a
+    precomputed map.
+    """
+    kind = condition_kind(kind)
+    if image is None or kind is None:
         return None
     image = resize_and_center_crop(image, height, width)
     if kind == "canny":
         return canny(image)
+    if kind == "pose" and pose_provider is not None:
+        return np.asarray(pose_provider(image))
+    if kind == "depth" and depth_provider is not None:
+        return np.asarray(depth_provider(image, (height, width)))
     return image

@@ -61,7 +61,8 @@ Seed:<input name=seed value=42> Steps:<input name=steps value=50>
 class OMGServer:
     def __init__(self, engine, registry: Optional[Registry] = None,
                  instantid=None, max_batch: int = 4,
-                 face_provider=None):
+                 face_provider=None, controlnets: Optional[dict] = None,
+                 pose_provider=None, depth_provider=None):
         """``instantid``: optional pipelines.omg.InstantIDModels — enables
         the OMG+InstantID serving path (role of app_instantID.py):
         requests carry per-concept ``face_embeddings`` (512-d lists),
@@ -70,9 +71,19 @@ class OMGServer:
         (image_rgb -> (kps [5,2], embedding [512]); defaults to
         insightface antelopev2 when installed — the reference's in-app
         FaceAnalysis flow, app_instantID.py:513-520).
-        ``max_batch``: queue-drain width for microbatched serving."""
+        ``max_batch``: queue-drain width for microbatched serving.
+        ``controlnets``: {kind: converted ControlNet params} for the
+        spatial-condition path ('pose'/'canny'/'depth' — the reference
+        loads one ControlNet per condition, app.py:216-226).
+        ``pose_provider``/``depth_provider``: photo -> condition map
+        callables (models/openpose.py BodyEstimator / models/dpt.py
+        DepthEstimator); requests may then carry a raw ``condition_image``
+        photo exactly like the reference's upload flow (app.py:315-357)."""
         self.engine = engine
         self.instantid = instantid
+        self.controlnets = controlnets or {}
+        self.pose_provider = pose_provider
+        self.depth_provider = depth_provider
         self.registry = registry or Registry()
         self.loras = self.registry.lora_cache(lora_lib.load_lora)
         self.max_batch = max(1, int(max_batch))
@@ -93,7 +104,8 @@ class OMGServer:
 
     def _batchable(self, job: dict) -> bool:
         return not (job.get("face_embeddings") or job.get("face_images")
-                    or job.get("face_kps") or job.get("prompt_rewrite_raw"))
+                    or job.get("face_kps") or job.get("prompt_rewrite_raw")
+                    or job.get("condition_image"))
 
     def _run_worker(self):
         while True:
@@ -206,10 +218,30 @@ class OMGServer:
                               face_embeddings=embeds,
                               face_kps_image=kps_img)
 
+        cn_kwargs = {}
+        kind = conditions.condition_kind(job.get("condition"))
+        if kind is not None and job.get("condition_image"):
+            import PIL.Image
+            photo = np.asarray(PIL.Image.open(io.BytesIO(
+                base64.b64decode(job["condition_image"]))).convert("RGB"))
+            cond = conditions.prepare_condition(
+                photo, kind, height, width,
+                pose_provider=self.pose_provider,
+                depth_provider=self.depth_provider)
+            cn = self.controlnets.get(kind)
+            if cn is None:
+                raise ValueError(
+                    f"no ControlNet loaded for condition {kind!r} "
+                    f"(available: {sorted(self.controlnets)})")
+            cn_kwargs = dict(
+                spatial_condition=cond, controlnet_params=cn,
+                controlnet_scale=float(job.get("controlnet_scale", 1.0)))
+
         return dict(
             prompt=job["prompt"],
             negative_prompt=job.get("negative_prompt",
                                     "noisy, blurry, soft, deformed, ugly"),
+            **cn_kwargs,
             prompt_rewrite=rewrite, concept_loras=concept_loras,
             style_lora=style, seed=int(job.get("seed", 42)),
             height=height, width=width,

@@ -304,3 +304,55 @@ def test_server_face_images_path():
     out = srv.submit(job)
     assert "image" in out
     assert calls == [(40, 40, 3)]
+
+
+def test_server_pose_condition_from_photo():
+    """Photo in -> pose-conditioned generation out (reference upload flow,
+    app.py:315-330): the server runs the pose provider + ControlNet."""
+    import base64
+    import io as _io
+
+    import PIL.Image
+    from omg_tpu import config as cfglib
+    from omg_tpu.models import controlnet as cn_lib
+
+    cfg = sdxl.tiny_config()
+    params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+
+    def provider(image, cls):
+        m = np.zeros(image.shape[:2], np.float32)
+        m[:, : image.shape[1] // 2] = 1.0
+        return m
+
+    cn_cfg = cfglib.tiny_controlnet()
+    cn_params = cn_lib.init_params(jax.random.PRNGKey(3), cn_cfg)
+    engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                         tokenizer_2=ToyTokenizer(), mask_provider=provider,
+                         num_steps=2, cn_cfg=cn_cfg)
+
+    pose_calls = []
+
+    def pose_provider(photo):
+        pose_calls.append(photo.shape)
+        skel = np.zeros_like(photo)
+        skel[:, photo.shape[1] // 2] = (255, 0, 0)
+        return skel
+
+    srv = OMGServer(engine, Registry(), controlnets={"pose": cn_params},
+                    pose_provider=pose_provider)
+    photo = (np.random.rand(48, 40, 3) * 255).astype(np.uint8)
+    buf = _io.BytesIO()
+    PIL.Image.fromarray(photo).save(buf, "PNG")
+    job = {"prompt": "the man here", "seed": 2, "height": H, "width": W,
+           "prompt_rewrite": "[the man]-*-[bad]",
+           "condition": "Human pose",
+           "condition_image": base64.b64encode(buf.getvalue()).decode()}
+    out = srv.submit(job)
+    assert "image" in out
+    # provider saw the cover-cropped photo at generation resolution
+    assert pose_calls == [(H, W, 3)]
+
+    # unknown condition kind without a loaded ControlNet -> clear error
+    job2 = dict(job, condition="Depth")
+    with pytest.raises(RuntimeError, match="no ControlNet"):
+        srv.submit(job2)
