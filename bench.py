@@ -57,6 +57,12 @@ def main():
     # off by default here where the headline metric is latency.
     if os.environ.get("OMG_BENCH_PACKED", "0") == "1":
         unet_params = unet_lib.pack_params(unet_params)
+    # OPT-IN approximate serving mode: int8 W8A8 transformer GEMMs
+    # (ops/quant.py). Default stays exact bf16 reference parity.
+    quant_mode = os.environ.get("OMG_BENCH_QUANT", "")
+    if quant_mode == "int8":
+        from omg_tpu.ops.quant import quantize_unet_params
+        unet_params = quantize_unet_params(unet_params)
     vae_params = vae_lib.init_params(jax.random.PRNGKey(1), cfg.vae)
     sched = schedulers.make_schedule("euler", steps)
 
@@ -270,6 +276,7 @@ def main():
             "stage2_s": round(float(np.median(stage2_t)), 3),
             "vae_s": round(float(np.median(vae_t)), 3),
             "vae_dtype": "bf16" if vae_dtype == jnp.bfloat16 else "fp32",
+            "quant": quant_mode or "none",
             "size": size, "steps": steps,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),

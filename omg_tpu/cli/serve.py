@@ -39,6 +39,9 @@ def main():
                         "side; otherwise pose maps must be precomputed)")
     p.add_argument("--dpt_checkpoint", default="",
                    help="DPT depth model dir (photo->depth server-side)")
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="int8: W8A8 transformer GEMMs (approximate, "
+                        "faster serving; default exact bf16)")
     args = p.parse_args()
 
     from omg_tpu import loader
@@ -52,7 +55,7 @@ def main():
         args.segment_type, sam_checkpoint=args.efficientViT_checkpoint)
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
-                         num_steps=args.num_steps)
+                         num_steps=args.num_steps, quantize=args.quantize)
     registry = (Registry.from_json(args.registry) if args.registry
                 else default_registry())
 

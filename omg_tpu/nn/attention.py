@@ -162,11 +162,22 @@ def mha(p: Params, x: Array, *, num_heads: int,
 
     no_bias = ("bias" not in p["to_q"] and "bias" not in p["to_k"]
                and "bias" not in p["to_v"])
+    quantized = "weight_q" in p["to_q"]
+
+    def fused_matmul(inp, names, splits):
+        """One GEMM over the concatenated projections (bf16 or int8 —
+        per-output-channel scales concatenate exactly)."""
+        if quantized:
+            from omg_tpu.ops.quant import int8_matmul
+            wq = jnp.concatenate([p[n]["weight_q"] for n in names], axis=1)
+            ws = jnp.concatenate([p[n]["w_scale"] for n in names])
+            return jnp.split(int8_matmul(inp, wq, ws), splits, axis=-1)
+        w = jnp.concatenate([p[n]["weight"] for n in names], axis=1)
+        return jnp.split(jnp.dot(inp, w), splits, axis=-1)
+
     if no_bias and not is_cross:
         # fused qkv: one [C, 3*inner] gemm (same input for q/k/v)
-        w = jnp.concatenate([p["to_q"]["weight"], p["to_k"]["weight"],
-                             p["to_v"]["weight"]], axis=1)
-        q, k, v = jnp.split(jnp.dot(x, w), 3, axis=-1)
+        q, k, v = fused_matmul(x, ("to_q", "to_k", "to_v"), 3)
         for name, ref in (("to_q", 0), ("to_k", 1), ("to_v", 2)):
             d = lora_delta(name, x)
             if d is not None:
@@ -179,9 +190,7 @@ def mha(p: Params, x: Array, *, num_heads: int,
     elif no_bias and is_cross:
         # fused kv over the context
         q = layers.linear(p["to_q"], x, la("to_q"))
-        w = jnp.concatenate([p["to_k"]["weight"], p["to_v"]["weight"]],
-                            axis=1)
-        k, v = jnp.split(jnp.dot(ctx, w), 2, axis=-1)
+        k, v = fused_matmul(ctx, ("to_k", "to_v"), 2)
         for name, is_k in (("to_k", True), ("to_v", False)):
             d = lora_delta(name, ctx)
             if d is not None:

@@ -75,7 +75,13 @@ def init_embedding(key: Array, num: int, dim: int, dtype: Any = jnp.float32) -> 
 # --------------------------------------------------------------------------
 
 def linear(p: Params, x: Array, lora: Optional[Params] = None) -> Array:
-    y = jnp.dot(x, p["weight"])
+    if "weight_q" in p:
+        # int8 W8A8 serving mode (ops/quant.py): quantized base matmul;
+        # bias and LoRA deltas stay full-precision on top.
+        from omg_tpu.ops.quant import int8_matmul
+        y = int8_matmul(x, p["weight_q"], p["w_scale"])
+    else:
+        y = jnp.dot(x, p["weight"])
     if lora is not None:
         down = lora["down"].astype(x.dtype)
         up = lora["up"].astype(x.dtype)

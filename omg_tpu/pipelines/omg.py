@@ -75,6 +75,17 @@ class OMG:
     concept_lora_scale: float = 0.8
     # set_adapters([char, style], [0.7, 0.5]) mix (reference :589).
     char_style_weights: tuple = (0.7, 0.5)
+    # "int8": quantize the UNet's transformer GEMMs for serving
+    # (opt-in approximate W8A8 mode, ops/quant.py; default exact bf16).
+    quantize: str = ""
+
+    def __post_init__(self):
+        if self.quantize == "int8":
+            from omg_tpu.ops.quant import quantize_unet_params
+            self.params = self.params._replace(
+                unet=quantize_unet_params(self.params.unet))
+        elif self.quantize:
+            raise ValueError(f"unknown quantize mode {self.quantize!r}")
 
     # ---------------------------------------------------------------- text
 
