@@ -63,6 +63,9 @@ def main():
     if quant_mode == "int8":
         from omg_tpu.ops.quant import quantize_unet_params
         unet_params = quantize_unet_params(unet_params)
+    if os.environ.get("OMG_BENCH_NO_FLASH") == "1":    # A/B diagnostics
+        from omg_tpu.ops import flash_attention as fa
+        fa.use_flash = lambda *a, **k: False
     vae_params = vae_lib.init_params(jax.random.PRNGKey(1), cfg.vae)
     sched = schedulers.make_schedule("euler", steps)
 
@@ -121,8 +124,14 @@ def main():
 
     if mode == "throughput":
         # Batched-request serving throughput: R independent generations
-        # (own seed per request) vmapped into one XLA program.
+        # (own seed per request), vmapped CHUNK requests at a time. One
+        # v5e is compute-saturated from ~2 in-flight requests (per-lane
+        # step time is flat from b=2), and the R=4 single-program
+        # two-stage faults the device (HBM pressure), so requests run
+        # in sequential chunks of OMG_BENCH_CHUNK (default 2) — the same
+        # policy the serving queue uses via max_batch.
         R = int(os.environ.get("OMG_BENCH_REQUESTS", "4"))
+        chunk = max(1, min(R, int(os.environ.get("OMG_BENCH_CHUNK", "2"))))
         keys = jax.random.split(jax.random.PRNGKey(5), R)
         lat0 = jax.vmap(lambda k: sdxl.prepare_latents(
             k, 1, H, W, sched, cfg.unet.dtype))(keys)
@@ -150,8 +159,11 @@ def main():
                 cfg, vp, l, dtype=vae_dtype))
 
         def run():
-            _, lat2 = two_stage(unet_params, lat0)
-            imgs = [decode1(vae_params, lat2[r, 1:2]) for r in range(R)]
+            imgs = []
+            for c0 in range(0, R, chunk):
+                _, lat2 = two_stage(unet_params, lat0[c0:c0 + chunk])
+                imgs += [decode1(vae_params, lat2[r, 1:2])
+                         for r in range(lat2.shape[0])]
             for im in imgs:
                 im.block_until_ready()
             # reliable barrier through the axon tunnel (scalar fetch)
@@ -174,7 +186,8 @@ def main():
             "unit": "images/min/chip",
             "vs_baseline": round(ipm / 12.0, 3),  # 12/min == 5 s/image
             "extra": {
-                "requests": R, "batch_seconds": round(p50, 3),
+                "requests": R, "chunk": chunk,
+                "batch_seconds": round(p50, 3),
                 "compile_s": round(compile_s, 1),
                 "size": size, "steps": steps,
                 "backend": jax.default_backend(),

@@ -25,6 +25,14 @@ p2p_attention.py:34) and only copy B (``attn[1:]``, :129-137):
   * self-attn: probs_B <- probs_A while self_start <= step < self_end and
     only for layers whose query length <= width*height
     (p2p_attention.py:114-118,126).
+
+Attribution: the host-side token-alignment helpers below (get_word_inds,
+time_words_alpha, replacement_mapper) follow Google's Apache-2.0
+prompt-to-prompt utilities (github.com/google/prompt-to-prompt,
+ptp_utils.py / seq_aligner.py), which the torch reference vendors as
+p2p_utils.py / seq_aligner.py. The alignment walk is semantics-pinned —
+any deviation breaks bit-parity with the controller schedule — so these
+~100 host-side numpy lines intentionally mirror that upstream math.
 """
 
 from __future__ import annotations

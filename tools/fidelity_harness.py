@@ -93,7 +93,8 @@ def run_ours(args, noise_nhwc: np.ndarray):
         clip_checkpoint=args.clip_checkpoint, tokenizer=tok1)
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
-                         num_steps=args.steps)
+                         num_steps=args.steps,
+                         quantize=getattr(args, "quantize", ""))
     loras = [lora_lib.load_lora(p) if p else None
              for p in args.lora_path.split("|")]
 
@@ -157,6 +158,9 @@ def main():
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--quantize", default="", choices=["", "int8"],
+                   help="measure the approximate int8 serving mode's "
+                        "LPIPS against the torch reference")
     p.add_argument("--out", default="fidelity_report.json")
     args = p.parse_args()
 
