@@ -46,16 +46,115 @@ from omg_tpu.serving.registry import Registry
 from omg_tpu.utils.profiling import METRICS, trace
 
 
-_FORM = """<!doctype html><title>OMG-TPU</title>
+# Single-page UI with the reference demo's controls (gradio_demo/app.py
+# + app_instantID.py): character/style dropdowns from the registry, the
+# nine SDXL resolution buckets, condition type + photo upload, InstantID
+# face uploads, seed/steps/CFG/ControlNet-scale, and both stage outputs.
+# Dependency-free (no gradio in this image): it reads capabilities from
+# GET /registry and posts JSON to /generate.
+_UI = """<!doctype html><title>OMG-TPU</title>
+<style>
+body{font-family:system-ui,sans-serif;margin:2em auto;max-width:62em}
+fieldset{border:1px solid #ccc;margin:.6em 0;padding:.6em}
+label{display:inline-block;margin:.2em 1em .2em 0}
+textarea,input[type=text]{width:100%;box-sizing:border-box}
+img{max-width:100%;border:1px solid #ddd;margin:.3em 0}
+#err{color:#b00;white-space:pre-wrap}
+.cols{display:flex;gap:1em}.cols>div{flex:1}
+</style>
 <h2>OMG multi-concept generation (TPU)</h2>
-<form method=post action=/generate_form>
-Prompt:<br><input name=prompt size=100
- value="Close-up photo of the cool man and beautiful woman as they discover
- a mysterious island, smiling, 35mm photograph, 4k"><br>
-Character 1:<input name=character1> Character 2:<input name=character2>
- Style:<input name=style><br>
-Seed:<input name=seed value=42> Steps:<input name=steps value=50>
-<input type=submit value=Generate></form>"""
+<fieldset><legend>Prompt</legend>
+<textarea id=prompt rows=2>Close-up photo of the cool man and beautiful
+ woman as they discover a mysterious island, smiling, 35mm photograph,
+ 4k</textarea>
+<textarea id=negative rows=1>noisy, blurry, soft, deformed, ugly</textarea>
+</fieldset>
+<fieldset><legend>Concepts</legend>
+<label>Character 1 <select id=character1></select></label>
+<label>Character 2 <select id=character2></select></label>
+<label>Style <select id=style></select></label>
+<span id=facebox hidden>
+<label>Face 1 <input type=file id=face1 accept=image/*></label>
+<label>Face 2 <input type=file id=face2 accept=image/*></label></span>
+</fieldset>
+<fieldset><legend>Generation</legend>
+<label>Resolution <select id=resolution></select></label>
+<label>Seed <input id=seed type=number value=42 style=width:6em></label>
+<label>Steps <input id=steps type=number value=50 style=width:5em></label>
+<label>CFG <input id=cfg type=number step=0.5 value=7.5
+ style=width:5em></label>
+<span id=condbox hidden>
+<label>Condition <select id=condition><option>none</option></select></label>
+<label>Condition photo <input type=file id=condimg accept=image/*></label>
+<label>ControlNet scale <input id=cnscale type=number step=0.1 value=1.0
+ style=width:5em></label></span>
+</fieldset>
+<details><summary>Advanced: prompt_rewrite DSL (overrides characters)
+</summary><textarea id=rewrite rows=2
+ placeholder="[region prompt]-*-[negative]|[region prompt]-*-[negative]">
+</textarea></details>
+<p><button id=go>Generate</button> <span id=status></span></p>
+<p id=err></p>
+<div class=cols><div><h4>Result</h4><div id=out></div></div>
+<div><h4>Stage 1 / condition</h4><div id=aux></div></div></div>
+<script>
+const $ = id => document.getElementById(id);
+const b64 = f => new Promise((res, rej) => {
+  if (!f) return res(null);
+  const r = new FileReader();
+  r.onload = () => res(r.result.split(',')[1]);
+  r.onerror = rej; r.readAsDataURL(f); });
+function fill(sel, names) {
+  sel.append(new Option('(none)', ''));
+  for (const n of names) sel.append(new Option(n, n));
+}
+async function init() {
+  const caps = await (await fetch('/registry')).json();
+  fill($('character1'), [...caps.man, ...caps.woman]);
+  fill($('character2'), [...caps.woman, ...caps.man]);
+  fill($('style'), caps.styles);
+  for (const [h, w] of caps.resolutions || [[1024, 1024]])
+    $('resolution').append(new Option(`${w} x ${h}`, `${h},${w}`));
+  for (const c of caps.conditions || []) {
+    $('condition').append(new Option(c, c));
+    $('condbox').hidden = false;
+  }
+  $('facebox').hidden = !caps.instantid;
+}
+$('go').onclick = async () => {
+  $('status').textContent = 'generating…'; $('err').textContent = '';
+  const [h, w] = $('resolution').value.split(',').map(Number);
+  const job = {prompt: $('prompt').value, negative_prompt: $('negative').value,
+    character1: $('character1').value, character2: $('character2').value,
+    style: $('style').value, seed: +$('seed').value, steps: +$('steps').value,
+    guidance_scale: +$('cfg').value, height: h, width: w};
+  if ($('rewrite').value.trim()) job.prompt_rewrite = $('rewrite').value.trim();
+  if ($('condition').value !== 'none' && $('condimg').files[0]) {
+    job.condition = $('condition').value;
+    job.condition_image = await b64($('condimg').files[0]);
+    job.controlnet_scale = +$('cnscale').value;
+  }
+  const faces = [await b64($('face1').files[0]),
+                 await b64($('face2').files[0])];
+  if (faces[0] || faces[1]) job.face_images = faces;
+  try {
+    const r = await fetch('/generate', {method: 'POST',
+      headers: {'Content-Type': 'application/json'},
+      body: JSON.stringify(job)});
+    const res = await r.json();
+    if (!r.ok) throw new Error(res.error || r.status);
+    $('status').textContent = res.seconds + ' s';
+    $('out').innerHTML = `<img src="data:image/png;base64,${res.image}">`;
+    let aux = `<img src="data:image/png;base64,${res.stage1}">`;
+    if (res.condition)
+      aux += `<img src="data:image/png;base64,${res.condition}">`;
+    $('aux').innerHTML = aux;
+  } catch (e) {
+    $('status').textContent = ''; $('err').textContent = String(e);
+  }
+};
+init();
+</script>"""
 
 
 class OMGServer:
@@ -169,7 +268,12 @@ class OMGServer:
         return iid_lib.analyze_face(image_rgb)
 
     def _job_to_request(self, job: dict) -> dict:
-        """HTTP job dict -> OMG.generate keyword arguments."""
+        """HTTP job dict -> OMG.generate keyword arguments.
+
+        Side effect: stores the rendered spatial condition (if any) in
+        ``job["_condition_rendered"]`` so the response can echo it — the
+        reference demo returns [image, spatial_condition]
+        (app_instantID.py:570)."""
         height = int(job.get("height", 1024))
         width = int(job.get("width", 1024))
         if min(height, width) >= 512:
@@ -233,6 +337,7 @@ class OMGServer:
                 raise ValueError(
                     f"no ControlNet loaded for condition {kind!r} "
                     f"(available: {sorted(self.controlnets)})")
+            job["_condition_rendered"] = cond
             cn_kwargs = dict(
                 spatial_condition=cond, controlnet_params=cn,
                 controlnet_scale=float(job.get("controlnet_scale", 1.0)))
@@ -249,27 +354,33 @@ class OMGServer:
             num_steps=int(job.get("steps", 0)) or None, **iid_kwargs)
 
     @staticmethod
-    def _payload(result, t0: float, height: int, width: int) -> dict:
+    def _payload(result, t0: float, height: int, width: int,
+                 condition=None) -> dict:
         def png_b64(arr):
             import PIL.Image
             buf = io.BytesIO()
-            PIL.Image.fromarray(arr).save(buf, "PNG")
+            PIL.Image.fromarray(np.asarray(arr).astype(np.uint8)).save(
+                buf, "PNG")
             return base64.b64encode(buf.getvalue()).decode()
 
         METRICS.count("images_generated")
-        return {
+        out = {
             "image": png_b64(result.image),
             "stage1": png_b64(result.stage1[1]),
             "seconds": round(time.time() - t0, 3),
             "height": height, "width": width,
         }
+        if condition is not None:
+            out["condition"] = png_b64(condition)
+        return out
 
     def _generate(self, job: dict) -> dict:
         t0 = time.time()
         req = self._job_to_request(job)
         with trace("serve/generate"):
             result = self.engine.generate(req.pop("prompt"), **req)
-        return self._payload(result, t0, req["height"], req["width"])
+        return self._payload(result, t0, req["height"], req["width"],
+                             condition=job.get("_condition_rendered"))
 
     def _generate_batch(self, jobs: list) -> list:
         t0 = time.time()
@@ -277,8 +388,9 @@ class OMGServer:
         with trace("serve/generate_batch"):
             results = self.engine.generate_batch(reqs)
         METRICS.count("batched_requests", len(jobs))
-        return [self._payload(r, t0, q["height"], q["width"])
-                for r, q in zip(results, reqs)]
+        return [self._payload(r, t0, q["height"], q["width"],
+                              condition=j.get("_condition_rendered"))
+                for r, q, j in zip(results, reqs, jobs)]
 
     # -------------------------------------------------------------- serve
 
@@ -297,7 +409,7 @@ class OMGServer:
 
             def do_GET(self):
                 if self.path == "/":
-                    self._send(200, _FORM, "text/html")
+                    self._send(200, _UI, "text/html")
                 elif self.path == "/registry":
                     reg = server.registry
                     self._send(200, json.dumps({
@@ -305,6 +417,10 @@ class OMGServer:
                         "woman": list(reg.characters_woman),
                         "styles": list(reg.styles),
                         "loaded_loras": list(server.loras),
+                        # capabilities the UI adapts to
+                        "conditions": sorted(server.controlnets),
+                        "instantid": server.instantid is not None,
+                        "resolutions": conditions.RESOLUTIONS,
                     }))
                 elif self.path == "/metrics":
                     self._send(200, json.dumps(METRICS.summary()))

@@ -90,6 +90,22 @@ def test_server_registry_endpoint(server):
     with urllib.request.urlopen(server + "/registry") as r:
         data = json.loads(r.read())
     assert data["man"] == ["TestMan"]
+    # capability advertisement the UI adapts to
+    assert data["conditions"] == []        # no ControlNets loaded here
+    assert data["instantid"] is False
+    assert [1024, 1024] in data["resolutions"]
+    assert len(data["resolutions"]) == 9   # the SDXL aspect buckets
+
+
+def test_server_ui_page(server):
+    """GET / serves the dynamic UI (registry dropdowns, resolution
+    buckets, condition + face uploads — the reference demo's controls)."""
+    with urllib.request.urlopen(server + "/") as r:
+        page = r.read().decode()
+    for needle in ("character1", "character2", "style", "resolution",
+                   "condition", "face1", "prompt_rewrite",
+                   "fetch('/registry')", "/generate"):
+        assert needle in page, needle
 
 
 def test_server_generate(server):
@@ -351,6 +367,9 @@ def test_server_pose_condition_from_photo():
     assert "image" in out
     # provider saw the cover-cropped photo at generation resolution
     assert pose_calls == [(H, W, 3)]
+    # the rendered condition is echoed back (the reference demo returns
+    # [image, spatial_condition], app_instantID.py:570)
+    assert "condition" in out and len(out["condition"]) > 50
 
     # unknown condition kind without a loaded ControlNet -> clear error
     job2 = dict(job, condition="Depth")
