@@ -6,8 +6,11 @@ SAM-ViT-H mask prediction. Here the pipeline consumes a ``MaskProvider``
 callable — (stage-1 image uint8 [H, W, 3], class text) -> binary [H, W]
 mask or None — and this module builds providers:
 
-  * "sam" — EfficientViT-SAM (JAX, segment/efficientvit.py) prompted by
-    a detector box; the detector is pluggable (box_provider).
+  * "sam" — EfficientViT-SAM (segment/efficientvit.py) or the original
+    SAM ViT-H (segment/vit_sam.py), auto-detected from the checkpoint's
+    keys (xl1.pt vs sam_vit_h_4b8939.pth — the reference's two
+    segment_type stacks), prompted by a detector box; the detector is
+    pluggable (box_provider).
   * "external" — any user callable (e.g. host-side YOLO-World the user
     already runs); keeps configs usable when no SAM weights exist.
   * "none" — disables stage 2 (single-concept runs, BASELINE config #1).

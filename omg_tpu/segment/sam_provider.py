@@ -25,6 +25,7 @@ from omg_tpu import convert
 from omg_tpu.segment import efficientvit as evit
 from omg_tpu.segment import evit_ops as ops
 from omg_tpu.segment import sam_decoder as dec
+from omg_tpu.segment import vit_sam
 
 Array = jax.Array
 
@@ -33,7 +34,14 @@ _STD = np.array([58.395, 57.12, 57.375], np.float32)
 
 
 def convert_sam_checkpoint(path_or_sd, *, dtype=jnp.float32) -> dict:
-    """xl1.pt -> {"image_encoder", "prompt_encoder", "mask_decoder"} trees."""
+    """SAM checkpoint -> {"image_encoder", "prompt_encoder",
+    "mask_decoder"} trees.
+
+    Accepts BOTH encoder families the reference uses
+    (inference_lora.py:92-124): EfficientViT-SAM (xl1.pt) and the
+    original SAM ViT-H (sam_vit_h_4b8939.pth) — the family is detected
+    from the keys and the right converter applied.
+    """
     sd = (convert.load_state_dict(path_or_sd)
           if isinstance(path_or_sd, str) else path_or_sd)
 
@@ -48,8 +56,16 @@ def convert_sam_checkpoint(path_or_sd, *, dtype=jnp.float32) -> dict:
                 part[key] = np.asarray(part[key]).transpose(2, 3, 1, 0)
         return convert.state_dict_to_tree(part, dtype=dtype)
 
+    if any(k.startswith("image_encoder.patch_embed.") for k in sd):
+        # original SAM ViT encoder: pos_embed/rel_pos tables need the
+        # family-specific conversion rules (segment/vit_sam.py)
+        enc = vit_sam.convert_encoder(
+            {k[len("image_encoder."):]: v for k, v in sd.items()
+             if k.startswith("image_encoder.")}, dtype=dtype)
+    else:
+        enc = sub("image_encoder.")
     return {
-        "image_encoder": sub("image_encoder."),
+        "image_encoder": enc,
         "prompt_encoder": sub("prompt_encoder."),
         "mask_decoder": sub("mask_decoder.",
                             transpose_ct=("output_upscaling.0",
@@ -58,7 +74,9 @@ def convert_sam_checkpoint(path_or_sd, *, dtype=jnp.float32) -> dict:
 
 
 @functools.partial(jax.jit, static_argnums=(0,))
-def _encode_image(cfg: evit.EViTSamConfig, params: dict, x: Array) -> Array:
+def _encode_image(cfg, params: dict, x: Array) -> Array:
+    if isinstance(cfg, vit_sam.VitSamConfig):
+        return vit_sam.encoder_apply(params, cfg, x)
     return evit.encoder_apply(params, cfg, x)
 
 
@@ -76,9 +94,14 @@ class SamPredictor:
     """set_image once, predict boxes many times (features cached on-device,
     reference: sam.py:276-295)."""
 
-    def __init__(self, params: dict, cfg: Optional[evit.EViTSamConfig] = None):
+    def __init__(self, params: dict, cfg=None):
         self.params = params
-        self.cfg = cfg or evit.xl1_config()
+        if cfg is None:
+            # encoder family from the converted tree's shape
+            cfg = (vit_sam.vit_h_config()
+                   if "patch_embed" in params["image_encoder"]
+                   else evit.xl1_config())
+        self.cfg = cfg
         self._embedding = None
         self._orig_size = None
         self._input_size = None
