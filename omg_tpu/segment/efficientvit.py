@@ -39,6 +39,7 @@ class EViTSamConfig:
     neck_in_channels: Sequence[int] = (1024, 512, 256)
     neck_width: int = 256
     neck_depth: int = 12
+    neck_expand: int = 4
     neck_out_dim: int = 256
     neck_feature_hw: int = 64
     image_size: int = 1024
@@ -48,6 +49,65 @@ class EViTSamConfig:
 def xl1_config() -> EViTSamConfig:
     """EfficientViT-SAM-XL1 (reference: sam.py:630-653)."""
     return EViTSamConfig()
+
+
+def xl0_config() -> EViTSamConfig:
+    """EfficientViT-SAM-XL0 (reference: sam.py:604-627)."""
+    return EViTSamConfig(depth_list=(0, 1, 1, 2, 3, 3), neck_depth=6)
+
+
+def _l_series(depth_list, neck_depth) -> EViTSamConfig:
+    # L-backbone defaults (reference: backbone.py:193-209) + SamNeck
+    # fids/channels/middle for l0-l2 (reference: sam.py:547-601)
+    return EViTSamConfig(
+        width_list=(32, 64, 128, 256, 512),
+        depth_list=depth_list,
+        block_list=("res", "fmb", "fmb", "mb", "att"),
+        expand_list=(1, 4, 4, 4, 6),
+        fewer_norm_list=(False, False, False, True, True),
+        neck_fids=("stage4", "stage3", "stage2"),
+        neck_in_channels=(512, 256, 128),
+        neck_depth=neck_depth,
+        neck_expand=1,
+        image_size=512,
+    )
+
+
+def l0_config() -> EViTSamConfig:
+    """EfficientViT-SAM-L0 (reference: sam.py:547-563)."""
+    return _l_series((1, 1, 1, 4, 4), 4)
+
+
+def l1_config() -> EViTSamConfig:
+    """EfficientViT-SAM-L1 (reference: sam.py:566-582)."""
+    return _l_series((1, 1, 1, 6, 6), 8)
+
+
+def l2_config() -> EViTSamConfig:
+    """EfficientViT-SAM-L2 (reference: sam.py:585-601)."""
+    return _l_series((1, 2, 2, 8, 8), 12)
+
+
+# The reference zoo (sam_model_zoo.py:26-53). Signature = per-stage
+# op_list lengths (1 stem/downsample + depth), which uniquely identifies
+# each geometry in a converted checkpoint tree.
+ZOO = {"l0": l0_config, "l1": l1_config, "l2": l2_config,
+       "xl0": xl0_config, "xl1": xl1_config}
+
+
+def _signature(cfg: EViTSamConfig) -> tuple:
+    return tuple(1 + d for d in cfg.depth_list)
+
+
+def infer_config(params: Params):
+    """Zoo config from a converted checkpoint's stage structure, or None
+    if the tree matches no zoo geometry."""
+    sig = tuple(len(st["op_list"]) for st in params["backbone"]["stages"])
+    for make in ZOO.values():
+        cfg = make()
+        if _signature(cfg) == sig:
+            return cfg
+    return None
 
 
 def tiny_config() -> EViTSamConfig:
@@ -270,7 +330,7 @@ def init_params(key: Array, cfg: EViTSamConfig) -> Params:
             next(ks), c, cfg.neck_width, 1, dtype=dtype)]}
             for c in cfg.neck_in_channels],
         "middle": {"op_list": [{"main": _init_fmb(
-            next(ks), cfg.neck_width, cfg.neck_width, 4,
+            next(ks), cfg.neck_width, cfg.neck_width, cfg.neck_expand,
             fewer_norm=False, dtype=dtype)}
             for _ in range(cfg.neck_depth)]},
         "output_ops": [{"op_list": [_init_conv_layer(

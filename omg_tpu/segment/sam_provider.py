@@ -97,10 +97,12 @@ class SamPredictor:
     def __init__(self, params: dict, cfg=None):
         self.params = params
         if cfg is None:
-            # encoder family from the converted tree's shape
-            cfg = (vit_sam.vit_h_config()
-                   if "patch_embed" in params["image_encoder"]
-                   else evit.xl1_config())
+            # encoder family + zoo geometry from the converted tree
+            enc = params["image_encoder"]
+            if "patch_embed" in enc:
+                cfg = vit_sam.vit_h_config()
+            else:
+                cfg = evit.infer_config(enc) or evit.xl1_config()
         self.cfg = cfg
         self._embedding = None
         self._orig_size = None

@@ -141,3 +141,42 @@ def test_predictor_feature_cache(tiny_sam):
     m2, s2 = pred.predict_box(np.array([8, 8, 40, 40], np.float32))
     np.testing.assert_array_equal(m1, m2)
     assert m1.shape == (64, 64)
+
+
+def test_zoo_configs_and_inference():
+    """Zoo geometries (reference sam_model_zoo.py l0-xl1) are structurally
+    distinct and recoverable from a converted tree's stage signature."""
+    sigs = {}
+    for name, make in evit.ZOO.items():
+        cfg = make()
+        sigs[name] = evit._signature(cfg)
+        # a structure-only tree (op_list lengths are all infer reads)
+        tree = {"backbone": {"stages": [
+            {"op_list": [None] * n} for n in sigs[name]]}}
+        got = evit.infer_config(tree)
+        assert got == cfg, name
+    assert len(set(sigs.values())) == len(sigs)  # unambiguous
+    # non-zoo structure -> None (predictor then falls back to xl1)
+    assert evit.infer_config(
+        {"backbone": {"stages": [{"op_list": [None] * 2}] * 6}}) is None
+
+
+def test_l_series_miniature_forward():
+    """The l0-l2 code path (5-stage mb/att backbone, stage4/3/2 neck with
+    expand 1) runs and produces the SAM embedding grid."""
+    import dataclasses
+    cfg = dataclasses.replace(
+        evit.l0_config(),
+        width_list=(8, 8, 16, 16, 32),
+        depth_list=(1, 1, 1, 1, 1),
+        expand_list=(1, 2, 2, 2, 2),
+        qkv_dim=8,
+        neck_in_channels=(32, 16, 16),
+        neck_width=16, neck_depth=1, neck_out_dim=16,
+        neck_feature_hw=8, image_size=64,
+    )
+    params = evit.init_params(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out = evit.encoder_apply(params, cfg, x)
+    assert out.shape == (1, 8, 8, 16)
+    assert np.isfinite(np.asarray(out)).all()
