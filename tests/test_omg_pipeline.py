@@ -270,3 +270,19 @@ def test_generate_batch_falls_back_serial_for_instantid(engine):
                  height=H, width=W, face_embeddings=[np.zeros(16)])]
     out = eng.generate_batch(reqs)
     assert len(out) == 2 and all(r.image.shape == (H, W, 3) for r in out)
+
+
+def test_generate_lcm_few_step(engine):
+    """scheduler='lcm' runs the full two-stage engine in few-step mode
+    (the LCM-LoRA serving configuration; no reference equivalent)."""
+    eng, _ = engine
+    lcm = omg_lib.OMG(cfg=eng.cfg, params=eng.params,
+                      tokenizer=eng.tokenizer, tokenizer_2=eng.tokenizer_2,
+                      mask_provider=eng.mask_provider,
+                      scheduler="lcm", num_steps=4)
+    res = lcm.generate("the man and the woman", seed=7, height=32, width=32,
+                       prompt_rewrite="[the man]-*-[bad]|[the woman]-*-[bad]",
+                       concept_loras=[None, None])
+    img = res.image
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    assert np.isfinite(img.astype(np.float32)).all()
