@@ -72,6 +72,10 @@ def main():
     # schedule); default matches the reference workload (50-step Euler).
     sched_name = os.environ.get("OMG_BENCH_SCHED", "euler")
     sched = schedulers.make_schedule(sched_name, steps)
+    # fusion gate scales with the step count like the engine does
+    # (pipelines/omg.py): the reference's i > 15 of 50 steps = 30%
+    from omg_tpu.control import regions as regions_lib
+    fusion_start = round(steps * regions_lib.FUSION_START_STEP / 50)
 
     d = cfg.unet.cross_attention_dim
     p_dim = cfg.text_encoder_2.projection_dim or cfg.text_encoder_2.hidden_size
@@ -150,7 +154,8 @@ def main():
         two_stage = jax.jit(jax.vmap(
             lambda up, l0: multiconcept.two_stage_latents(
                 cfg, sched, up, l0, base, ctl,
-                (concept, concept), tuple(loras), masks),
+                (concept, concept), tuple(loras), masks,
+                fusion_start=fusion_start),
             in_axes=(None, 0)))
 
         # decode only copy B (the deliverable) of each request, ONE
@@ -215,13 +220,15 @@ def main():
         t0 = time.time()
         lat1, cache = multiconcept.sample_stage1_cached(
             cfg, sched, unet_params, key=jax.random.PRNGKey(5),
-            height=H, width=W, base_inputs=base)
+            height=H, width=W, base_inputs=base,
+            fusion_start=fusion_start)
         sync(lat1)
         t1 = time.time()
         lat2 = multiconcept.sample_stage2_resumed(
             cfg, sched, unet_params, cache, base_inputs=base,
             controller=ctl, concept_inputs=[concept, concept],
-            concept_loras=list(loras), masks=masks)
+            concept_loras=list(loras), masks=masks,
+            fusion_start=fusion_start)
         sync(lat2)
         t2 = time.time()
         img = sdxl.decode_latents(cfg, vae_params, lat2, dtype=vae_dtype)
@@ -259,12 +266,13 @@ def main():
             from omg_tpu.utils.profiling import compiled_peak_bytes
             # lowering args mirror sample_stage2_resumed's call exactly so
             # the persistent compilation cache is hit (no fresh compile)
-            boundary = min(regions_lib.FUSION_START_STEP + 1, steps)
+            boundary = min(fusion_start + 1, steps)
             progs = {
                 "stage2": lambda: multiconcept._denoise_mc_range_traj.lower(
                     cfg, sched, unet_params, cache_w.latents,
                     cache_w.sched_state, cache_w.a_traj, base, ctl,
-                    (concept, concept), tuple(loras), masks, i0=boundary),
+                    (concept, concept), tuple(loras), masks, i0=boundary,
+                    fusion_start=fusion_start),
                 "vae": lambda: sdxl.decode_latents.lower(
                     cfg, vae_params, lat2_w, dtype=vae_dtype),
             }

@@ -251,6 +251,23 @@ class OMGServer:
             raise RuntimeError(done["error"])
         return done["result"]
 
+    def submit_many(self, jobs: list) -> list:
+        """Enqueue several jobs at once and wait for all — the queue
+        drain batches compatible ones into one vmapped program. Covers
+        the reference demo's multi-prompt batch UI (app.py: up to four
+        prompts generated per click)."""
+        dones = []
+        for job in jobs:
+            done = {"event": threading.Event()}
+            self._work.put((job, done))
+            dones.append(done)
+        for done in dones:
+            done["event"].wait()
+        bad = next((d["error"] for d in dones if "error" in d), None)
+        if bad is not None:
+            raise RuntimeError(bad)
+        return [d["result"] for d in dones]
+
     # ----------------------------------------------------------- generate
 
     def _lookup(self, name):
@@ -424,6 +441,10 @@ class OMGServer:
                     }))
                 elif self.path == "/metrics":
                     self._send(200, json.dumps(METRICS.summary()))
+                elif self.path == "/healthz":
+                    self._send(200, json.dumps(
+                        {"ok": server._worker.is_alive(),
+                         "queued": server._work.qsize()}))
                 else:
                     self._send(404, "{}")
 
@@ -433,7 +454,19 @@ class OMGServer:
                 if self.path == "/generate":
                     try:
                         job = json.loads(raw or b"{}")
-                        self._send(200, json.dumps(server.submit(job)))
+                        if "prompts" in job:
+                            # multi-prompt batch request (the reference
+                            # demo's N-prompt UI): one job per prompt,
+                            # shared settings, seed offset per prompt;
+                            # the queue drain vmaps compatible ones
+                            prompts = job.pop("prompts")
+                            seed = int(job.get("seed", 42))
+                            jobs = [dict(job, prompt=p, seed=seed + i)
+                                    for i, p in enumerate(prompts)]
+                            out = {"results": server.submit_many(jobs)}
+                        else:
+                            out = server.submit(job)
+                        self._send(200, json.dumps(out))
                     except Exception as e:
                         self._send(500, json.dumps({"error": str(e)}))
                 elif self.path == "/generate_form":

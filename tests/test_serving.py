@@ -375,3 +375,29 @@ def test_server_pose_condition_from_photo():
     job2 = dict(job, condition="Depth")
     with pytest.raises(RuntimeError, match="no ControlNet"):
         srv.submit(job2)
+
+
+def test_server_healthz(server):
+    with urllib.request.urlopen(server + "/healthz") as r:
+        data = json.loads(r.read())
+    assert data["ok"] is True
+
+
+def test_server_multi_prompt_batch(server):
+    """One request with prompts=[...] -> per-prompt results (reference
+    demo's multi-prompt batch UI, app.py), drained as one vmapped batch."""
+    from omg_tpu.utils.profiling import METRICS
+    before = METRICS.counters.get("batched_requests", 0)
+    job = {"prompts": ["the man at sea", "the man on a hill"],
+           "seed": 5, "height": H, "width": W,
+           "prompt_rewrite": "[the man]-*-[ugly]"}
+    req = urllib.request.Request(server + "/generate",
+                                 data=json.dumps(job).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out = json.loads(r.read())
+    assert len(out["results"]) == 2
+    assert all(len(res["image"]) > 100 for res in out["results"])
+    # seeds differ -> images differ
+    assert out["results"][0]["image"] != out["results"][1]["image"]
+    assert METRICS.counters.get("batched_requests", 0) >= before + 2
