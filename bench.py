@@ -140,6 +140,14 @@ def main():
         # policy the serving queue uses via max_batch.
         R = int(os.environ.get("OMG_BENCH_REQUESTS", "4"))
         chunk = max(1, min(R, int(os.environ.get("OMG_BENCH_CHUNK", "2"))))
+        if R % chunk:
+            # a remainder chunk would trace+compile the heavy two-stage
+            # program a SECOND time at the smaller batch (~4 min at SDXL
+            # size); round up — every request is real work and the rate
+            # is reported over the actual count
+            R = ((R + chunk - 1) // chunk) * chunk
+            print(f"note: rounded requests up to {R} (multiple of "
+                  f"chunk {chunk})", file=sys.stderr)
         keys = jax.random.split(jax.random.PRNGKey(5), R)
         lat0 = jax.vmap(lambda k: sdxl.prepare_latents(
             k, 1, H, W, sched, cfg.unet.dtype))(keys)

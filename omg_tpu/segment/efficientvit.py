@@ -101,8 +101,13 @@ def _signature(cfg: EViTSamConfig) -> tuple:
 
 def infer_config(params: Params):
     """Zoo config from a converted checkpoint's stage structure, or None
-    if the tree matches no zoo geometry."""
-    sig = tuple(len(st["op_list"]) for st in params["backbone"]["stages"])
+    if the tree matches no zoo geometry (including trees without the
+    backbone/stages structure at all)."""
+    try:
+        sig = tuple(len(st["op_list"])
+                    for st in params["backbone"]["stages"])
+    except (KeyError, TypeError):
+        return None
     for make in ZOO.values():
         cfg = make()
         if _signature(cfg) == sig:

@@ -100,7 +100,8 @@ class SamPredictor:
             # encoder family + zoo geometry from the converted tree
             enc = params["image_encoder"]
             if "patch_embed" in enc:
-                cfg = vit_sam.vit_h_config()
+                # geometry read off the tree: ViT-B/L/H all resolve
+                cfg = vit_sam.config_from_params(enc)
             else:
                 cfg = evit.infer_config(enc) or evit.xl1_config()
         self.cfg = cfg

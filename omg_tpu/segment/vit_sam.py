@@ -53,6 +53,44 @@ def vit_h_config() -> VitSamConfig:
     return VitSamConfig()
 
 
+def vit_l_config() -> VitSamConfig:
+    """SAM-ViT-L (sam_vit_l_0b3195.pth)."""
+    return VitSamConfig(dim=1024, depth=24,
+                        global_attn_indexes=(5, 11, 17, 23))
+
+
+def vit_b_config() -> VitSamConfig:
+    """SAM-ViT-B (sam_vit_b_01ec64.pth)."""
+    return VitSamConfig(dim=768, depth=12, num_heads=12,
+                        global_attn_indexes=(2, 5, 8, 11))
+
+
+def config_from_params(p: Params) -> VitSamConfig:
+    """Geometry derived from a converted tree, so ViT-B/L/H checkpoints
+    all resolve correctly (hardcoding H would silently corrupt B/L:
+    JAX's gather CLAMPS out-of-range rel-pos indices rather than
+    erroring, so wrong global_attn_indexes produce wrong masks, not a
+    crash)."""
+    pe = p["pos_embed"]                       # [1, g, g, dim]
+    g, dim = int(pe.shape[1]), int(pe.shape[-1])
+    patch = int(p["patch_embed"]["proj"]["weight"].shape[0])
+    blocks = p["blocks"]
+    head_dim = int(blocks[0]["attn"]["rel_pos_h"].shape[-1])
+    # a block is global iff its rel-pos table spans the full grid
+    glb = tuple(i for i, b in enumerate(blocks)
+                if int(b["attn"]["rel_pos_h"].shape[0]) == 2 * g - 1)
+    windows = sorted({(int(b["attn"]["rel_pos_h"].shape[0]) + 1) // 2
+                      for i, b in enumerate(blocks) if i not in glb})
+    mlp_hidden = int(blocks[0]["mlp"]["lin1"]["weight"].shape[-1])
+    return VitSamConfig(
+        image_size=g * patch, patch_size=patch, dim=dim,
+        depth=len(blocks), num_heads=dim // head_dim,
+        mlp_ratio=mlp_hidden // dim,
+        window_size=windows[0] if windows else 0,
+        global_attn_indexes=glb,
+        out_chans=int(p["neck"][0]["weight"].shape[-1]))
+
+
 def tiny_config() -> VitSamConfig:
     """CPU-testable miniature: one windowed (with padding) + one global
     block at a 4x4 token grid."""

@@ -121,18 +121,22 @@ async function init() {
   }
   $('facebox').hidden = !caps.instantid;
 }
+const num = (id, dflt) => {
+  const v = +$(id).value;
+  return Number.isFinite(v) ? v : dflt;   // blanked input -> default
+};
 $('go').onclick = async () => {
   $('status').textContent = 'generating…'; $('err').textContent = '';
   const [h, w] = $('resolution').value.split(',').map(Number);
   const job = {prompt: $('prompt').value, negative_prompt: $('negative').value,
     character1: $('character1').value, character2: $('character2').value,
-    style: $('style').value, seed: +$('seed').value, steps: +$('steps').value,
-    guidance_scale: +$('cfg').value, height: h, width: w};
+    style: $('style').value, seed: num('seed', 42), steps: num('steps', 50),
+    guidance_scale: num('cfg', 7.5), height: h, width: w};
   if ($('rewrite').value.trim()) job.prompt_rewrite = $('rewrite').value.trim();
   if ($('condition').value !== 'none' && $('condimg').files[0]) {
     job.condition = $('condition').value;
     job.condition_image = await b64($('condimg').files[0]);
-    job.controlnet_scale = +$('cnscale').value;
+    job.controlnet_scale = num('cnscale', 1.0);
   }
   const faces = [await b64($('face1').files[0]),
                  await b64($('face2').files[0])];
@@ -194,12 +198,18 @@ class OMGServer:
     # ------------------------------------------------------------- worker
 
     @staticmethod
-    def _bucket(job: dict) -> tuple:
-        h = int(job.get("height", 1024))
-        w = int(job.get("width", 1024))
-        if min(h, w) >= 512:
-            h, w = conditions.snap_resolution(h, w)
-        return h, w, int(job.get("steps", 0))
+    def _bucket(job: dict):
+        try:
+            h = int(job.get("height", 1024))
+            w = int(job.get("width", 1024))
+            if min(h, w) >= 512:
+                h, w = conditions.snap_resolution(h, w)
+            return h, w, int(job.get("steps", 0))
+        except Exception:
+            # malformed job: unique bucket -> never batched; the error
+            # surfaces from _generate with a real message instead of
+            # killing the worker
+            return object()
 
     def _batchable(self, job: dict) -> bool:
         return not (job.get("face_embeddings") or job.get("face_images")
@@ -208,23 +218,52 @@ class OMGServer:
 
     def _run_worker(self):
         while True:
-            first = self._work.get()
-            batch = [first]
-            # drain compatible LoRA-path jobs into one vmapped program
-            if self._batchable(first[0]):
-                key = self._bucket(first[0])
-                while len(batch) < self.max_batch:
-                    try:
-                        nxt = self._work.get_nowait()
-                    except queue.Empty:
-                        break
-                    if (self._batchable(nxt[0])
-                            and self._bucket(nxt[0]) == key):
-                        batch.append(nxt)
-                    else:
-                        # incompatible: run it alone on the next loop
-                        self._work.put(nxt)
-                        break
+            item = self._work.get()
+            try:
+                # submit_many envelope: a pre-grouped list of
+                # (job, done) pairs — batch within the group only
+                group = item if isinstance(item, list) else [item]
+                if not isinstance(item, list):
+                    # drain queued compatible LoRA-path jobs into one
+                    # vmapped program
+                    if self._batchable(item[0]):
+                        key = self._bucket(item[0])
+                        while len(group) < self.max_batch:
+                            try:
+                                nxt = self._work.get_nowait()
+                            except queue.Empty:
+                                break
+                            if (isinstance(nxt, tuple)
+                                    and self._batchable(nxt[0])
+                                    and self._bucket(nxt[0]) == key):
+                                group.append(nxt)
+                            else:
+                                # incompatible: next loop iteration
+                                self._work.put(nxt)
+                                break
+                self._run_group(group)
+            except Exception:
+                # never let the single worker die: _run_group resolves
+                # every done-event itself; anything escaping here is a
+                # bookkeeping bug, logged but survivable
+                import traceback
+                traceback.print_exc()
+
+    def _run_group(self, group: list) -> None:
+        """Execute (job, done) pairs: compatible batchable runs vmapped
+        (in max_batch chunks), the rest individually. Resolves EVERY
+        done event, also on error."""
+        while group:
+            head = group[0]
+            batch = [head]
+            if self._batchable(head[0]):
+                key = self._bucket(head[0])
+                while (len(batch) < self.max_batch
+                       and len(batch) < len(group)
+                       and self._batchable(group[len(batch)][0])
+                       and self._bucket(group[len(batch)][0]) == key):
+                    batch.append(group[len(batch)])
+            group = group[len(batch):]
             if len(batch) == 1:
                 job, done = batch[0]
                 try:
@@ -243,30 +282,34 @@ class OMGServer:
                     done["error"] = str(e)
                     done["event"].set()
 
+    @staticmethod
+    def _clean(job: dict) -> dict:
+        # strip private keys a client could inject (e.g.
+        # _condition_rendered, echoed back as the condition image)
+        return {k: v for k, v in job.items() if not k.startswith("_")}
+
     def submit(self, job: dict) -> dict:
         done = {"event": threading.Event()}
-        self._work.put((job, done))
+        self._work.put((self._clean(job), done))
         done["event"].wait()
         if "error" in done:
             raise RuntimeError(done["error"])
         return done["result"]
 
     def submit_many(self, jobs: list) -> list:
-        """Enqueue several jobs at once and wait for all — the queue
-        drain batches compatible ones into one vmapped program. Covers
-        the reference demo's multi-prompt batch UI (app.py: up to four
-        prompts generated per click)."""
-        dones = []
-        for job in jobs:
-            done = {"event": threading.Event()}
-            self._work.put((job, done))
-            dones.append(done)
-        for done in dones:
+        """Run several jobs, batching compatible ones into one vmapped
+        program (the reference demo's multi-prompt batch UI: up to four
+        prompts per click, app.py). The group is enqueued as ONE item so
+        batching does not race the idle worker."""
+        pairs = [(self._clean(job), {"event": threading.Event()})
+                 for job in jobs]
+        self._work.put(list(pairs))
+        for _, done in pairs:
             done["event"].wait()
-        bad = next((d["error"] for d in dones if "error" in d), None)
+        bad = next((d["error"] for _, d in pairs if "error" in d), None)
         if bad is not None:
             raise RuntimeError(bad)
-        return [d["result"] for d in dones]
+        return [d["result"] for _, d in pairs]
 
     # ----------------------------------------------------------- generate
 
@@ -442,9 +485,11 @@ class OMGServer:
                 elif self.path == "/metrics":
                     self._send(200, json.dumps(METRICS.summary()))
                 elif self.path == "/healthz":
-                    self._send(200, json.dumps(
-                        {"ok": server._worker.is_alive(),
-                         "queued": server._work.qsize()}))
+                    alive = server._worker.is_alive()
+                    # non-200 when wedged so probes keying on the status
+                    # code stop routing traffic here
+                    self._send(200 if alive else 503, json.dumps(
+                        {"ok": alive, "queued": server._work.qsize()}))
                 else:
                     self._send(404, "{}")
 
@@ -460,6 +505,16 @@ class OMGServer:
                             # shared settings, seed offset per prompt;
                             # the queue drain vmaps compatible ones
                             prompts = job.pop("prompts")
+                            if (not isinstance(prompts, list)
+                                    or not prompts
+                                    or not all(isinstance(p, str)
+                                               for p in prompts)):
+                                raise ValueError(
+                                    "prompts must be a non-empty list "
+                                    "of strings")
+                            if len(prompts) > 8:   # reference UI caps at 4
+                                raise ValueError(
+                                    "at most 8 prompts per request")
                             seed = int(job.get("seed", 42))
                             jobs = [dict(job, prompt=p, seed=seed + i)
                                     for i, p in enumerate(prompts)]

