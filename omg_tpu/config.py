@@ -98,6 +98,21 @@ def clip_vit_b32_vision() -> CLIPVisionConfig:
     return CLIPVisionConfig()
 
 
+def clip_vit_b32_text() -> CLIPTextConfig:
+    """openai/clip-vit-base-patch32 text tower (pairs with the vision
+    config above: 512-d shared embedding space). fp32: the detector
+    ranks cosine similarities, and the tower is tiny."""
+    return CLIPTextConfig(hidden_size=512, intermediate_size=2048,
+                          num_heads=8, projection_dim=512,
+                          dtype=jnp.float32)
+
+
+def clip_vit_l14_text() -> CLIPTextConfig:
+    """openai/clip-vit-large-patch14 text tower WITH projection (768-d
+    space; unlike SDXL's text_encoder, which drops text_projection)."""
+    return CLIPTextConfig(projection_dim=768, dtype=jnp.float32)
+
+
 def clip_vit_l14_vision() -> CLIPVisionConfig:
     """openai/clip-vit-large-patch14 image tower."""
     return CLIPVisionConfig(

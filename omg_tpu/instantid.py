@@ -153,6 +153,29 @@ def encode_face_tokens(params: dict, cfg: ResamplerConfig,
     return resampler_lib.apply(params, cfg, stacked)
 
 
+_FACE_APP = None
+
+
+def _face_analysis_app():
+    """Module-cached insightface FaceAnalysis: the ONNX detection +
+    recognition stack loads hundreds of MB from disk — build it ONCE
+    like the reference's app-startup FaceAnalysis, not per request."""
+    global _FACE_APP
+    if _FACE_APP is None:
+        try:
+            from insightface.app import FaceAnalysis
+        except ImportError as e:
+            raise RuntimeError(
+                "insightface is not installed: pass precomputed "
+                "face_embeddings/face_kps in the request, or inject "
+                "face_provider=... into OMGServer") from e
+        app = FaceAnalysis(name="antelopev2",
+                           providers=["CPUExecutionProvider"])
+        app.prepare(ctx_id=0, det_size=(640, 640))
+        _FACE_APP = app
+    return _FACE_APP
+
+
 def analyze_face(image_rgb: np.ndarray):
     """-> (kps [5, 2], embedding [512]) for the LARGEST face in the image.
 
@@ -162,16 +185,7 @@ def analyze_face(image_rgb: np.ndarray):
     hot path. Raises with guidance when insightface is unavailable
     (serving callers can inject a custom face_provider instead).
     """
-    try:
-        from insightface.app import FaceAnalysis
-    except ImportError as e:
-        raise RuntimeError(
-            "insightface is not installed: pass precomputed "
-            "face_embeddings/face_kps in the request, or inject "
-            "face_provider=... into OMGServer") from e
-    app = FaceAnalysis(name="antelopev2",
-                       providers=["CPUExecutionProvider"])
-    app.prepare(ctx_id=0, det_size=(640, 640))
+    app = _face_analysis_app()
     faces = app.get(image_rgb[:, :, ::-1])     # insightface wants BGR
     if not faces:
         raise ValueError("no face detected in the reference image")

@@ -72,8 +72,10 @@ def int8_matmul(x: Array, wq: Array, w_scale: Array) -> Array:
         y = jax.lax.dot_general(
             xq, wq, (((xq.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
-    return (y.astype(jnp.float32) * sx * w_scale.astype(jnp.float32)
-            ).astype(x.dtype)
+    ws = w_scale.astype(jnp.float32)
+    if wq.ndim == 3 and y.ndim == 3 and ws.ndim == 2:
+        ws = ws[:, None, :]   # [B, out] -> broadcast against [B, N, out]
+    return (y.astype(jnp.float32) * sx * ws).astype(x.dtype)
 
 
 def _is_linear(node) -> bool:

@@ -18,9 +18,19 @@ mask or None — and this module builds providers:
 
 from __future__ import annotations
 
+import hashlib
 from typing import Callable, Optional
 
 import numpy as np
+
+
+def image_fingerprint(image: np.ndarray) -> tuple:
+    """Content key for per-image caches. id(image) is NOT a valid key:
+    CPython reuses ids after GC, so a steady-state serving loop can hand
+    a new image the previous image's cached features."""
+    h = hashlib.blake2b(np.ascontiguousarray(image).tobytes(),
+                        digest_size=16).hexdigest()
+    return (image.shape, str(image.dtype), h)
 
 
 def build_mask_provider(kind: str, *, sam_checkpoint: str = "",
@@ -49,13 +59,15 @@ def build_mask_provider(kind: str, *, sam_checkpoint: str = "",
             from omg_tpu import convert
             from omg_tpu.segment.detector import build_openvocab_detector
             sam_params = convert_sam_checkpoint(sam_checkpoint)
+            # matched CLIP pair: B/32 vision + B/32 text share the 512-d
+            # embedding space (a CLIP-L text tower here would neither
+            # run at these head counts nor project into this space)
             v_cfg = cfglib.clip_vit_b32_vision()
             v_params = convert.convert_clip_vision(clip_checkpoint)
-            t_cfg = cfglib.sdxl_text_encoder()  # CLIP-L text tower
-            import dataclasses
-            t_cfg = dataclasses.replace(t_cfg, projection_dim=v_cfg.projection_dim)
+            t_cfg = cfglib.clip_vit_b32_text()
             t_params = convert.convert_clip(clip_text_checkpoint or
-                                            clip_checkpoint)
+                                            clip_checkpoint,
+                                            dtype=t_cfg.dtype)
             box_provider = build_openvocab_detector(
                 sam_params, clip_vision_params=v_params,
                 clip_vision_cfg=v_cfg, clip_text_params=t_params,

@@ -172,19 +172,22 @@ def clip_embedders(vision_params: dict, vision_cfg, text_params: dict,
     from omg_tpu.models import clip as clip_lib
     from omg_tpu.models import clip_vision as cv
 
+    # params are jit ARGUMENTS, not closure captures — captured weight
+    # pytrees bake into the compiled program as constants (CLAUDE.md:
+    # a multi-hundred-MB payload breaks the axon remote compile)
     @jax.jit
-    def _img(pix):
-        out = cv.apply(vision_params, vision_cfg, pix)
+    def _img(vp, pix):
+        out = cv.apply(vp, vision_cfg, pix)
         e = out.projected.astype(jnp.float32)
         return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
 
     def embed_image(crops_uint8: np.ndarray) -> np.ndarray:
         pix = cv.preprocess(crops_uint8, vision_cfg.image_size)
-        return np.asarray(_img(pix))
+        return np.asarray(_img(vision_params, pix))
 
     @jax.jit
-    def _txt(ids):
-        out = clip_lib.apply(text_params, text_cfg, ids)
+    def _txt(tp, ids):
+        out = clip_lib.apply(tp, text_cfg, ids)
         e = out.projected.astype(jnp.float32)
         return e / jnp.linalg.norm(e, axis=-1, keepdims=True)
 
@@ -193,7 +196,7 @@ def clip_embedders(vision_params: dict, vision_cfg, text_params: dict,
         for t in texts:
             ids = jnp.asarray(
                 tokenizer([tpl.format(t) for tpl in PROMPT_TEMPLATES]))
-            e = np.asarray(_txt(ids)).mean(axis=0)
+            e = np.asarray(_txt(text_params, ids)).mean(axis=0)
             embs.append(e / np.linalg.norm(e))
         return np.stack(embs)
 
@@ -246,7 +249,8 @@ class OpenVocabDetector:
     # -- per-image computation -------------------------------------------
 
     def _prepare(self, image: np.ndarray) -> None:
-        key = id(image)
+        from omg_tpu.segment import image_fingerprint
+        key = image_fingerprint(image)   # content key — id() gets reused
         if key == self._cache_key:
             return
         self._cache_key = key

@@ -172,10 +172,11 @@ class SamMaskProvider:
         self._cached_image_id = None
 
     def __call__(self, image: np.ndarray, text: str):
+        from omg_tpu.segment import image_fingerprint
         box = self.box_provider(image, text)
         if box is None:
             return None
-        img_id = id(image)
+        img_id = image_fingerprint(image)
         if img_id != self._cached_image_id:
             self.predictor.set_image(image)
             self._cached_image_id = img_id

@@ -212,13 +212,18 @@ class OMGServer:
             return object()
 
     def _batchable(self, job: dict) -> bool:
+        # InstantID and spatial-condition jobs run solo (generate_batch
+        # covers the LoRA path, incl. prompt_rewrite requests)
         return not (job.get("face_embeddings") or job.get("face_images")
-                    or job.get("face_kps") or job.get("prompt_rewrite_raw")
-                    or job.get("condition_image"))
+                    or job.get("face_kps") or job.get("condition_image"))
 
     def _run_worker(self):
+        # items stashed by the drain (incompatible with the batch being
+        # formed) are served BEFORE new queue items — re-enqueueing them
+        # would put earlier-submitted requests behind later ones
+        pending: list = []
         while True:
-            item = self._work.get()
+            item = pending.pop(0) if pending else self._work.get()
             try:
                 # submit_many envelope: a pre-grouped list of
                 # (job, done) pairs — batch within the group only
@@ -238,8 +243,8 @@ class OMGServer:
                                     and self._bucket(nxt[0]) == key):
                                 group.append(nxt)
                             else:
-                                # incompatible: next loop iteration
-                                self._work.put(nxt)
+                                # incompatible: run it next, in order
+                                pending.append(nxt)
                                 break
                 self._run_group(group)
             except Exception:

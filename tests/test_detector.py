@@ -183,3 +183,24 @@ def test_detector_feeds_mask_provider():
     m_green = provider(img, "green")
     assert m_red is not None and m_red.shape == img.shape[:2]
     assert m_green is None
+
+
+def test_b32_text_config_pairs_with_vision():
+    """The factory's CLIP pairing is geometrically consistent: the B/32
+    text tower runs at its own head count and projects into the SAME
+    512-d space as the B/32 vision tower (the round-2 factory wired a
+    CLIP-L text config against B/32 weights, which cannot execute)."""
+    import jax
+    import jax.numpy as jnp
+    from omg_tpu import config as cfglib
+    from omg_tpu.models import clip as clip_lib
+
+    t_cfg = cfglib.clip_vit_b32_text()
+    v_cfg = cfglib.clip_vit_b32_vision()
+    assert t_cfg.projection_dim == v_cfg.projection_dim == 512
+    assert t_cfg.hidden_size % t_cfg.num_heads == 0
+    params = clip_lib.init_params(jax.random.PRNGKey(0), t_cfg)
+    ids = jnp.zeros((2, 77), jnp.int32)
+    out = clip_lib.apply(params, t_cfg, ids)
+    assert out.projected is not None
+    assert out.projected.shape == (2, 512)

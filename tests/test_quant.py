@@ -150,3 +150,21 @@ def test_engine_quantize_mode_generates():
                        seed=3, height=32, width=32)
     assert out.image.shape == (32, 32, 3)
     assert np.isfinite(np.asarray(out.stage2, np.float32)).all()
+
+
+def test_int8_matmul_stacked_3d_path():
+    """Per-lane stacked weights [B, in, out] with w_scale [B, out] must
+    dequantize correctly for multi-token activations (w_scale broadcasts
+    over the token axis, not against it)."""
+    import numpy as np
+    rng = np.random.default_rng(0)
+    B, N, DI, DO = 3, 5, 8, 4
+    x = jnp.asarray(rng.standard_normal((B, N, DI)), jnp.float32)
+    w = rng.standard_normal((B, DI, DO)).astype(np.float32)
+    scale = np.maximum(np.abs(w).max(axis=1, keepdims=True) / 127.0, 1e-12)
+    wq = jnp.asarray(np.clip(np.round(w / scale), -127, 127), jnp.int8)
+    ws = jnp.asarray(scale[:, 0])                     # [B, out]
+    got = np.asarray(quant.int8_matmul(x, wq, ws))
+    want = np.einsum("bni,bio->bno", np.asarray(x), w)
+    assert got.shape == (B, N, DO)
+    assert np.abs(got - want).max() < 0.15 * np.abs(want).max()

@@ -30,7 +30,9 @@ def timeit(name, fn, args, flops=None, peak=PEAK, feedback=None):
     def run(*args):
         def body(i, x):
             y = fn(x, *args[1:])
-            return x * 0.999 + feedback(y, x)
+            # cast back: int8 carries promote under the 0.999 decay and
+            # a carry-dtype mismatch kills the fori_loop
+            return (x * 0.999 + feedback(y, x)).astype(x.dtype)
         x = jax.lax.fori_loop(0, ITERS, body, args[0])
         return jnp.sum(x.astype(jnp.float32).reshape(-1)[:4])
     t0 = time.time(); float(run(*args)); c = time.time() - t0
