@@ -160,11 +160,11 @@ def main():
         # params must be jit ARGUMENTS: a closure would capture the 5 GB
         # weight pytree as baked-in constants (and break remote compile).
         two_stage = jax.jit(jax.vmap(
-            lambda up, l0: multiconcept.two_stage_latents(
+            lambda up, l0, k: multiconcept.two_stage_latents(
                 cfg, sched, up, l0, base, ctl,
                 (concept, concept), tuple(loras), masks,
-                fusion_start=fusion_start),
-            in_axes=(None, 0)))
+                fusion_start=fusion_start, noise_key=k),
+            in_axes=(None, 0, 0)))
 
         # decode only copy B (the deliverable) of each request, ONE
         # REQUEST AT A TIME: a batched fp32 decode materializes
@@ -178,7 +178,8 @@ def main():
         def run():
             imgs = []
             for c0 in range(0, R, chunk):
-                _, lat2 = two_stage(unet_params, lat0[c0:c0 + chunk])
+                _, lat2 = two_stage(unet_params, lat0[c0:c0 + chunk],
+                                    keys[c0:c0 + chunk])
                 imgs += [decode1(vae_params, lat2[r, 1:2])
                          for r in range(lat2.shape[0])]
             for im in imgs:

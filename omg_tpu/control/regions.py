@@ -70,6 +70,12 @@ def fuse_region_edit(edit: Array, region_preds: Array, masks: Array,
       active:       scalar bool — the traced `i > 15 and stage == 2` gate
       replace_ratio: blend amount inside mask regions (reference :573-574)
 
+    Overlapping concept masks SUM their mask-normalized predictions —
+    deliberately: the reference's per-concept loop does `+=` into
+    new_noise_pred for each concept (lora_pipeline.py:602), so shared
+    pixels accumulate there too. This is reference-exact, not a merge
+    policy choice.
+
     Semantics (reference :569-607): outside the union of masks, copy-B
     noise is the base model's; inside each concept mask, it becomes
     replace_ratio * concept_eps / mask_value (+ (1-ratio) * base). Binary

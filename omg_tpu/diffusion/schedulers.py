@@ -210,13 +210,22 @@ def _dpmpp_2m_step(sched: Schedule, state: SchedulerState, eps: Array,
 
 
 def _lcm_step(sched: Schedule, state: SchedulerState, eps: Array,
-              i: Array, x: Array) -> tuple[Array, SchedulerState]:
+              i: Array, x: Array, *,
+              shared_batch_noise: bool = False
+              ) -> tuple[Array, SchedulerState]:
     """Latent Consistency Model sampling step (for LCM-LoRA'd SDXL).
 
     Published LCM boundary-condition sampling: predict x0, blend with the
     consistency scalings (sigma_data=0.5, timestep_scaling=10), then
     re-noise to the next grid point with FRESH noise (not the eps
     prediction). Deterministic given the state key.
+
+    ``shared_batch_noise``: draw ONE noise sample and broadcast it over
+    the batch axis. The multiconcept programs set this — their batch
+    axis is the two stage-1 latent COPIES of one image, which must stay
+    bit-identical (the dedup/trajectory fast paths depend on it); fresh
+    per-row draws would silently diverge the copies. Independent-sample
+    batches (sdxl.text_to_image) keep per-row draws.
     """
     t = sched.timesteps[i]
     t_next = sched.timesteps[jnp.minimum(i + 1, sched.num_steps - 1)]
@@ -234,8 +243,10 @@ def _lcm_step(sched: Schedule, state: SchedulerState, eps: Array,
     c_out = scaled / jnp.sqrt(scaled ** 2 + sigma_data2)
     denoised = c_out * x0 + c_skip * xf
 
-    noise = jax.random.normal(jax.random.fold_in(state.key, i),
-                              x.shape, jnp.float32)
+    shape = ((1,) + x.shape[1:]) if shared_batch_noise else x.shape
+    noise = jnp.broadcast_to(
+        jax.random.normal(jax.random.fold_in(state.key, i), shape,
+                          jnp.float32), x.shape)
     renoised = jnp.sqrt(a_next) * denoised + jnp.sqrt(1.0 - a_next) * noise
     last = i == sched.num_steps - 1
     out = jnp.where(last, denoised, renoised)
@@ -244,10 +255,15 @@ def _lcm_step(sched: Schedule, state: SchedulerState, eps: Array,
 
 
 def step(sched: Schedule, state: SchedulerState, eps: Array, i: Array,
-         x: Array) -> tuple[Array, SchedulerState]:
-    """One scheduler update. eps is the epsilon (noise) prediction."""
+         x: Array, *, shared_batch_noise: bool = False
+         ) -> tuple[Array, SchedulerState]:
+    """One scheduler update. eps is the epsilon (noise) prediction.
+
+    ``shared_batch_noise`` only affects stochastic schedules (LCM): see
+    _lcm_step — set when the batch axis is latent COPIES of one image."""
     if sched.kind == LCM:
-        return _lcm_step(sched, state, eps, i, x)
+        return _lcm_step(sched, state, eps, i, x,
+                         shared_batch_noise=shared_batch_noise)
     if sched.kind == EULER:
         nxt = _euler_step(sched, eps, i, x)
         return nxt, SchedulerState(state.prev_model_output,

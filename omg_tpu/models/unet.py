@@ -118,7 +118,12 @@ def init_params(key: Array, cfg: UNetConfig) -> Params:
     dtype = cfg.dtype
     temb = cfg.time_embed_dim
     n_levels = len(cfg.block_out_channels)
-    ks = iter(jax.random.split(key, 64))
+    # sized generously from the config: a handful of keys per block
+    # level plus embeddings/mid (a fixed 64 overflowed for configs
+    # modestly deeper than SDXL)
+    n_keys = 16 + 16 * len(cfg.block_out_channels) * (
+        cfg.layers_per_block + 1)
+    ks = iter(jax.random.split(key, max(64, n_keys)))
 
     p: Params = {
         "conv_in": layers.init_conv2d(next(ks), cfg.in_channels,

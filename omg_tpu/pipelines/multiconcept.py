@@ -134,9 +134,13 @@ def _concept_cn_residuals(concept_controlnets, concept_inputs, rl: Array,
         else:
             conds.append(jnp.broadcast_to(
                 cn.cond_image, (2,) + cn.cond_image.shape[1:]))
-            ehs_rows.append(cn.encoder_hidden_states
-                            if cn.encoder_hidden_states is not None
-                            else concept_inputs[k].prompt_embeds)
+            ehs = (cn.encoder_hidden_states
+                   if cn.encoder_hidden_states is not None
+                   else concept_inputs[k].prompt_embeds)
+            # ehs may be [1, ...] (the ControlNetInputs batch-1
+            # convention the base path honors) — each concept owns a
+            # 2-row (uncond, cond) lane pair
+            ehs_rows.append(jnp.broadcast_to(ehs, (2,) + ehs.shape[1:]))
             scales.append(jnp.asarray(cn.scale, jnp.float32))
     # per-lane scale: each concept's (uncond, cond) pair shares its scale
     scale_lanes = jnp.repeat(jnp.stack(scales), 2)[:, None, None, None]
@@ -294,8 +298,14 @@ def multiconcept_step(
             tids = jnp.concatenate([ci.time_ids for ci in concept_inputs])
             ip_ctx = None
             if any(ci.ip_context is not None for ci in concept_inputs):
+                # concepts may MIX InstantID and plain-LoRA: LoRA-only
+                # lanes get zero IP tokens (exact no-op — to_v_ip is
+                # bias-free), same padding as the fast paths
+                zeros_ip = next(ci.ip_context for ci in concept_inputs
+                                if ci.ip_context is not None) * 0.0
                 ip_ctx = jnp.concatenate(
-                    [ci.ip_context for ci in concept_inputs])
+                    [ci.ip_context if ci.ip_context is not None
+                     else zeros_ip for ci in concept_inputs])
             stacked_lora = lora_lib.stack_loras(
                 [concept_loras[k].get("unet", concept_loras[k])
                  if concept_loras[k] is not None else None
@@ -325,7 +335,8 @@ def multiconcept_step(
             eps, region_preds, masks.astype(eps.dtype), active=active)
 
     guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
-    return schedulers.step(sched, st, guided, i, x)
+    return schedulers.step(sched, st, guided, i, x,
+                               shared_batch_noise=True)
 
 
 @functools.partial(
@@ -350,9 +361,15 @@ def denoise_multiconcept(
         base_controlnets: tuple = (),
         concept_controlnets: tuple = (),
         cn_cfg=None,
+        noise_key: Optional[Array] = None,
 ) -> Array:
-    """The two-stage OMG denoise. One compilation serves both stages."""
-    state0 = schedulers.init_state(sched, latents.shape)
+    """The two-stage OMG denoise. One compilation serves both stages.
+
+    ``noise_key``: seed-derived PRNG key for stochastic schedulers (LCM
+    re-noising). Pass jax.random.fold_in(seed_key, 777) — the SAME
+    derivation the dedup/trajectory fast paths use — so both paths draw
+    identical noise streams for the same seed."""
+    state0 = schedulers.init_state(sched, latents.shape, key=noise_key)
 
     def body(i, carry):
         x, st = carry
@@ -431,7 +448,8 @@ def _denoise_cfg_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                          down_block_residuals=down_res,
                          mid_block_residual=mid_res)
         guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
-        return schedulers.step(sched, st, guided, i, x)
+        return schedulers.step(sched, st, guided, i, x,
+                               shared_batch_noise=True)
 
     return jax.lax.fori_loop(i0, i1, body, (latents, state))
 
@@ -468,7 +486,8 @@ def _denoise_cfg_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                          down_block_residuals=down_res,
                          mid_block_residual=mid_res)
         guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
-        x, st = schedulers.step(sched, st, guided, i, x)
+        x, st = schedulers.step(sched, st, guided, i, x,
+                                shared_batch_noise=True)
         return (x, st, traj)
 
     return jax.lax.fori_loop(i0, i1, body, (latents, state, traj0))
@@ -588,7 +607,8 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         fused = regions.fuse_region_edit(
             edit, region_preds, masks.astype(edit.dtype), active=active)
         guided = sampling.cfg_combine(fused, base_inputs.guidance_scale)
-        return schedulers.step(sched, st, guided, i, x)
+        return schedulers.step(sched, st, guided, i, x,
+                               shared_batch_noise=True)
 
     x, _ = jax.lax.fori_loop(i0, sched.num_steps, body, (latent_b, state))
     return x
@@ -620,6 +640,16 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     """
     K = len(concept_inputs)
     if K == 0:
+        if lane_sharding is not None:
+            # the lane-parallel latency mode shards the 4+2K lane batch;
+            # with zero concepts there is nothing to shard and this path
+            # would silently run unsharded without the flash-under-
+            # shard_map routing — refuse rather than mislead
+            raise ValueError(
+                "lane_sharding requires at least one concept "
+                "(zero-concept stage 2 is a plain CFG denoise; run it "
+                "unsharded or under tensor parallelism instead)")
+
         def body0(i, carry):
             x, st = carry
             return multiconcept_step(
@@ -664,12 +694,9 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
             for k in range(K)], repeat=2)
     ip_ctx = None
     if any(ci.ip_context is not None for ci in concept_inputs):
-        zeros_ip = None
-        parts = []
-        for ci in concept_inputs:
-            if ci.ip_context is not None:
-                zeros_ip = jnp.zeros_like(ci.ip_context)
-                break
+        zeros_ip = next(jnp.zeros_like(ci.ip_context)
+                        for ci in concept_inputs
+                        if ci.ip_context is not None)
         parts = [jnp.zeros((4,) + zeros_ip.shape[1:], zeros_ip.dtype)]
         for ci in concept_inputs:
             parts.append(ci.ip_context if ci.ip_context is not None
@@ -747,7 +774,8 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         eps = regions.fuse_region_noise(
             eps, region_preds, masks.astype(eps.dtype), active=active)
         guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
-        return schedulers.step(sched, st, guided, i, x)
+        return schedulers.step(sched, st, guided, i, x,
+                               shared_batch_noise=True)
 
     if lane_sharding is not None:
         # shard_map the flash kernel over the lane axis while tracing the
@@ -772,15 +800,23 @@ def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                       concept_loras, masks, *,
                       fusion_start: int = regions.FUSION_START_STEP,
                       concept_ip_adapters: tuple = (),
-                      ip_scale_static: float = 1.0) -> tuple:
+                      ip_scale_static: float = 1.0,
+                      noise_key: Optional[Array] = None) -> tuple:
     """Pure both-stages computation (no host sync between stages).
 
     For throughput serving / benchmarking where masks are provided
     up-front: vmap this over a request axis to batch R independent
     generations into one XLA program (lane count scales with R).
     Returns (stage1 latents [2, ...], stage2 latents [2, ...]).
+
+    ``noise_key``: per-request seed key for stochastic schedulers (LCM);
+    vmapped callers must pass each request's own key or every request in
+    the batch shares one re-noise stream.
     """
-    state = schedulers.init_state(sched, latents0.shape)
+    state = schedulers.init_state(
+        sched, latents0.shape,
+        key=(jax.random.fold_in(noise_key, 777)
+             if noise_key is not None else None))
     boundary = min(fusion_start + 1, sched.num_steps)
     lat_b, st_b = _denoise_cfg_range.__wrapped__(
         cfg, sched, unet_params, latents0, state, base_inputs,
@@ -996,6 +1032,7 @@ def sample_stage(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         cfg, sched, unet_params, latents, base_inputs, controller,
         tuple(concept_inputs), tuple(concept_loras), masks,
         jnp.asarray(stage == 2),
+        noise_key=jax.random.fold_in(key, 777),
         concept_ip_adapters=tuple(concept_ip_adapters),
         fusion_start=fusion_start, ip_scale_static=ip_scale,
         base_controlnets=tuple(base_controlnets),

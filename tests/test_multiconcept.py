@@ -338,3 +338,59 @@ def test_traj_path_with_selfreplace_in_suffix(setup):
         masks=masks, fusion_start=1)
     np.testing.assert_allclose(np.asarray(s2_fast), np.asarray(s2_slow),
                                atol=2e-4)
+
+
+def test_lcm_fast_path_matches_reference_path(setup):
+    """Under the STOCHASTIC LCM schedule the fast-path identities must
+    still hold: re-noise draws are shared across the latent copies
+    (schedulers.step shared_batch_noise) and keyed off the same
+    seed-derived stream in both programs (noise_key threading)."""
+    cfg, params, _, base, concept, ctl = setup
+    sched = schedulers.make_schedule("lcm", 4)
+    key = jax.random.PRNGKey(31)
+    masks = _masks()
+    slow_kw = dict(cfg=cfg, sched=sched, unet_params=params, key=key,
+                   height=H, width=W, base_inputs=base, controller=ctl,
+                   concept_inputs=[concept, concept],
+                   concept_loras=[None, None], masks=masks, fusion_start=1)
+    s1_slow = multiconcept.sample_stage(stage=1, **slow_kw)
+    s2_slow = multiconcept.sample_stage(stage=2, **slow_kw)
+    # the OMG premise: stage-1 copies stay bit-identical (stochastic
+    # draws included)
+    np.testing.assert_array_equal(np.asarray(s1_slow[0]),
+                                  np.asarray(s1_slow[1]))
+
+    s1_fast, cache = multiconcept.sample_stage1_cached(
+        cfg, sched, params, key=key, height=H, width=W, base_inputs=base,
+        fusion_start=1)
+    s2_fast = multiconcept.sample_stage2_resumed(
+        cfg, sched, params, cache, base_inputs=base, controller=ctl,
+        concept_inputs=[concept, concept], concept_loras=[None, None],
+        masks=masks, fusion_start=1)
+    np.testing.assert_allclose(np.asarray(s1_fast), np.asarray(s1_slow),
+                               atol=2e-4)
+    np.testing.assert_allclose(np.asarray(s2_fast), np.asarray(s2_slow),
+                               atol=2e-4)
+
+
+def test_mixed_instantid_lora_concepts_reference_layout(setup):
+    """The reference-layout program accepts concepts that MIX InstantID
+    (ip_context set) and plain LoRA (ip_context None) — LoRA-only lanes
+    get zero IP tokens like the fast paths."""
+    import dataclasses
+    cfg, params, sched, base, concept, ctl = setup
+    d = cfg.unet.cross_attention_dim
+    ip_tokens = jax.random.normal(jax.random.PRNGKey(3), (2, 4, d))
+    concept_ip = concept._replace(ip_context=ip_tokens)
+    from omg_tpu.models import unet as unet_lib
+    from omg_tpu.nn.attention import init_ip_kv
+    ipk = [init_ip_kv(jax.random.PRNGKey(50 + i), d, 64)
+           for i in range(unet_lib.num_cross_attention_layers(cfg.unet))]
+    out = multiconcept.sample_stage(
+        cfg=cfg, sched=sched, unet_params=params,
+        key=jax.random.PRNGKey(9), height=H, width=W, base_inputs=base,
+        controller=ctl, concept_inputs=[concept_ip, concept],
+        concept_loras=[None, None], masks=_masks(), stage=2,
+        fusion_start=1, concept_ip_adapters=(ipk,))
+    assert out.shape[0] == 2
+    assert bool(jnp.isfinite(out).all())
