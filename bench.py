@@ -237,7 +237,10 @@ def main():
             cfg, sched, unet_params, cache, base_inputs=base,
             controller=ctl, concept_inputs=[concept, concept],
             concept_loras=list(loras), masks=masks,
-            fusion_start=fusion_start)
+            fusion_start=fusion_start,
+            # OMG_BENCH_CROP=strips: approximate mode — concept lanes on
+            # vertical strips (multiconcept._denoise_mc_range_traj_cropped)
+            concept_crop=(os.environ.get("OMG_BENCH_CROP") == "strips"))
         sync(lat2)
         t2 = time.time()
         img = sdxl.decode_latents(cfg, vae_params, lat2, dtype=vae_dtype)
@@ -276,6 +279,10 @@ def main():
             # lowering args mirror sample_stage2_resumed's call exactly so
             # the persistent compilation cache is hit (no fresh compile)
             boundary = min(fusion_start + 1, steps)
+            if os.environ.get("OMG_BENCH_CROP") == "strips":
+                raise RuntimeError("skip memory analysis in crop mode "
+                                   "(lowering args mirror the exact "
+                                   "program)")
             progs = {
                 "stage2": lambda: multiconcept._denoise_mc_range_traj.lower(
                     cfg, sched, unet_params, cache_w.latents,
@@ -321,6 +328,7 @@ def main():
             "vae_dtype": "bf16" if vae_dtype == jnp.bfloat16 else "fp32",
             "quant": quant_mode or "none",
             "scheduler": sched_name,
+            "concept_crop": os.environ.get("OMG_BENCH_CROP", "none"),
             "v5e8_projection_s": v5e8_proj,
             "v5e8_projection_note": ("projection from the measured "
                                      "stage split, not an 8-chip "

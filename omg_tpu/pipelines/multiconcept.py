@@ -875,6 +875,117 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     return duplicate_latents(lat_end), cache
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("cfg", "i0", "fusion_start", "ip_scale_static"))
+def _denoise_mc_range_traj_cropped(
+        cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+        unet_params: dict, latent_b: Array,
+        state: schedulers.SchedulerState, a_traj: Array,
+        base_inputs: BaseInputs, controller,
+        concept_inputs, concept_loras, masks, *, i0: int,
+        concept_ip_adapters: tuple = (),
+        fusion_start: int = regions.FUSION_START_STEP,
+        ip_scale_static: float = 1.0) -> Array:
+    """APPROXIMATE stage-2 suffix: concept lanes on fixed vertical strips.
+
+    Opt-in serving mode (``concept_crop`` on sample_stage2_resumed /
+    OMG_BENCH_CROP=strips). Structural cost cut the reference cannot
+    express: the base rows [cond_A, uncond_B, cond_B] run full-frame
+    with exact P2P control, but each concept's (uncond, cond) pair runs
+    on only its W/K-wide strip of the latent — OMG's canonical layout
+    puts each person in their own strip, and the fusion writeback only
+    ever reads concept predictions inside the (strip-clipped) mask. At
+    K=2 this halves the concept lanes' FLOPs (4 of 7 lanes), ~18% e2e.
+
+    NOT reference-exact: a concept UNet's self-attention and conv
+    receptive field no longer see the other strip (cross-attention and
+    the micro-conditioning are unchanged). Masks MUST be pre-clipped to
+    the strips by the caller; ControlNet lanes are unsupported here.
+    """
+    K = len(concept_inputs)
+    from omg_tpu import lora as lora_lib
+    bidx = jnp.array([2, 1, 3])
+    b_embeds = base_inputs.prompt_embeds[bidx]
+    b_tembeds = base_inputs.text_embeds[bidx]
+    b_tids = base_inputs.time_ids[bidx]
+    c_embeds = jnp.concatenate([ci.prompt_embeds for ci in concept_inputs])
+    c_tembeds = jnp.concatenate([ci.text_embeds for ci in concept_inputs])
+    c_tids = jnp.concatenate([ci.time_ids for ci in concept_inputs])
+    lane_lora = lora_lib.stack_loras(
+        [(concept_loras[k].get("unet", concept_loras[k])
+          if concept_loras[k] is not None else None)
+         for k in range(K) for _ in range(2)])
+    ip_ctx = None
+    if any(ci.ip_context is not None for ci in concept_inputs):
+        zeros_ip = next(ci.ip_context for ci in concept_inputs
+                        if ci.ip_context is not None) * 0.0
+        ip_ctx = jnp.concatenate(
+            [ci.ip_context if ci.ip_context is not None else zeros_ip
+             for ci in concept_inputs])
+    ipk = concept_ip_adapters[0] if concept_ip_adapters else None
+    w = latent_b.shape[2]
+    ws = w // K
+
+    def body(i, carry):
+        x, st = carry                        # [1, h, w, 4] (copy B)
+        t = sched.timesteps[i]
+        xa = jax.lax.dynamic_index_in_dim(a_traj, i - i0, keepdims=False)
+        lin_a = schedulers.scale_model_input(sched, xa, i)
+        lin_b = schedulers.scale_model_input(
+            sched, jnp.concatenate([x, x]), i)
+
+        # base forward: full-frame, exact P2P (src 0 / dst 2)
+        ctrl = (controller.at_step(i, src_lane=0, dst_lane=2)
+                if controller is not None else None)
+        eps_base = unet.apply(
+            unet_params, cfg.unet, jnp.concatenate([lin_a, lin_b]), t,
+            b_embeds, text_embeds=b_tembeds, time_ids=b_tids, control=ctrl)
+
+        # concept forward: 2K lanes at [h, w/K]
+        lanes_c = jnp.concatenate([
+            jnp.broadcast_to(
+                lin_b[1:2, :, k * ws:(k + 1) * ws, :],
+                (2, lin_b.shape[1], ws, lin_b.shape[3]))
+            for k in range(K)])
+        eps_c = unet.apply(
+            unet_params, cfg.unet, lanes_c, t, c_embeds,
+            text_embeds=c_tembeds, time_ids=c_tids,
+            lora=lane_lora, ip_adapter=ipk, ip_context=ip_ctx,
+            ip_scale=ip_scale_static)
+
+        # strip outputs back into full-frame region predictions
+        region_preds = jnp.zeros(
+            (K, 2) + lin_b.shape[1:], eps_c.dtype)
+        for k in range(K):
+            region_preds = region_preds.at[
+                k, :, :, k * ws:(k + 1) * ws, :].set(
+                eps_c[2 * k:2 * k + 2])
+
+        edit = eps_base[1:3]                 # [uncond_B, cond_B]
+        active = jnp.asarray(i > fusion_start)
+        fused = regions.fuse_region_edit(
+            edit, region_preds, masks.astype(edit.dtype), active=active)
+        guided = sampling.cfg_combine(fused, base_inputs.guidance_scale)
+        return schedulers.step(sched, st, guided, i, x,
+                               shared_batch_noise=True)
+
+    x, _ = jax.lax.fori_loop(i0, sched.num_steps, body, (latent_b, state))
+    return x
+
+
+def clip_masks_to_strips(masks: Array, n_strips: int) -> Array:
+    """[K, h, w] masks -> each clipped to its vertical strip (the
+    concept-crop contract: strip k covers columns [k*w/K, (k+1)*w/K))."""
+    K, _, w = masks.shape
+    assert K == n_strips, (K, n_strips)
+    ws = w // n_strips
+    cols = jnp.arange(w)
+    windows = jnp.stack([((cols >= k * ws) & (cols < (k + 1) * ws))
+                         for k in range(n_strips)]).astype(masks.dtype)
+    return masks * windows[:, None, :]
+
+
 def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                           unet_params: dict, cache: StageCache, *,
                           base_inputs: BaseInputs, controller,
@@ -885,7 +996,8 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                           ip_scale: float = 1.0,
                           base_controlnets: Sequence = (),
                           concept_controlnets: Sequence = (),
-                          cn_cfg=None, lane_sharding=None) -> Array:
+                          cn_cfg=None, lane_sharding=None,
+                          concept_crop: bool = False) -> Array:
     """Stage 2 resumed from the cached pre-fusion boundary -> [2, h, w, 4].
 
     Single-chip, the 3+2K-lane trajectory-fed program runs whenever the
@@ -893,10 +1005,35 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     ``lane_sharding`` (a NamedSharding over the lane axis, multi-chip
     latency mode) the reference-layout 4+2K program is kept — its lane
     count is power-of-two friendly for an 8-chip mesh.
+
+    ``concept_crop``: opt-in APPROXIMATE mode — concept lanes run on
+    fixed vertical strips (_denoise_mc_range_traj_cropped); masks are
+    clipped to the strips here. Requires the trajectory cache, no
+    ControlNets, no lane sharding.
     """
     validate_concept_controlnets(concept_controlnets)
     boundary = min(fusion_start + 1, sched.num_steps)
     st = cache.sched_state
+    if concept_crop:
+        K = len(concept_inputs)
+        if (cache.a_traj is None or K == 0 or lane_sharding is not None
+                or any(c is not None for c in concept_controlnets)
+                or base_controlnets):
+            raise ValueError(
+                "concept_crop requires the trajectory cache, >=1 "
+                "concept, no ControlNets, and no lane_sharding")
+        if masks.shape[-1] % K:
+            raise ValueError(
+                f"latent width {masks.shape[-1]} not divisible into "
+                f"{K} strips")
+        lat_b = _denoise_mc_range_traj_cropped(
+            cfg, sched, unet_params, cache.latents, st, cache.a_traj,
+            base_inputs, controller, tuple(concept_inputs),
+            tuple(concept_loras), clip_masks_to_strips(masks, K),
+            i0=boundary, fusion_start=fusion_start,
+            concept_ip_adapters=tuple(concept_ip_adapters),
+            ip_scale_static=ip_scale)
+        return jnp.concatenate([cache.a_final, lat_b])
     if (cache.a_traj is not None and cache.a_traj.shape[0] > 0
             and lane_sharding is None and len(concept_inputs) > 0):
         lat_b = _denoise_mc_range_traj(

@@ -394,3 +394,57 @@ def test_mixed_instantid_lora_concepts_reference_layout(setup):
         fusion_start=1, concept_ip_adapters=(ipk,))
     assert out.shape[0] == 2
     assert bool(jnp.isfinite(out).all())
+
+
+def test_clip_masks_to_strips():
+    m = jnp.ones((2, 4, 4), jnp.float32)
+    out = np.asarray(multiconcept.clip_masks_to_strips(m, 2))
+    assert out[0, :, :2].all() and not out[0, :, 2:].any()
+    assert out[1, :, 2:].all() and not out[1, :, :2].any()
+
+
+def test_concept_crop_mode(setup):
+    """Opt-in cropped-concept stage 2: runs, matches the exact program
+    when fusion is a no-op (zero masks), diverges (by design) when
+    concept predictions are actually used."""
+    cfg, params, sched, base, concept, ctl = setup
+    key = jax.random.PRNGKey(77)
+    _, cache = multiconcept.sample_stage1_cached(
+        cfg, sched, params, key=key, height=H, width=W, base_inputs=base,
+        fusion_start=1)
+    kw = dict(cfg=cfg, sched=sched, unet_params=params, cache=cache,
+              base_inputs=base, controller=ctl,
+              concept_inputs=[concept, concept],
+              concept_loras=[None, None], fusion_start=1)
+
+    # zero masks: fusion no-op in both programs -> same trajectory
+    zero = jnp.zeros((2, H // 8, W // 8), jnp.float32)
+    exact = multiconcept.sample_stage2_resumed(masks=zero, **kw)
+    crop = multiconcept.sample_stage2_resumed(masks=zero,
+                                              concept_crop=True, **kw)
+    np.testing.assert_allclose(np.asarray(crop), np.asarray(exact),
+                               atol=2e-4)
+
+    # live masks (crossing the strip boundary gets clipped): runs,
+    # finite, copy A untouched, and differs from the exact program
+    masks = _masks()
+    exact2 = multiconcept.sample_stage2_resumed(masks=masks, **kw)
+    crop2 = multiconcept.sample_stage2_resumed(masks=masks,
+                                               concept_crop=True, **kw)
+    assert bool(jnp.isfinite(crop2).all())
+    np.testing.assert_array_equal(np.asarray(crop2[0]),
+                                  np.asarray(exact2[0]))  # copy A
+    assert not np.array_equal(np.asarray(crop2[1]), np.asarray(exact2[1]))
+
+
+def test_concept_crop_rejects_unsupported(setup):
+    cfg, params, sched, base, concept, ctl = setup
+    _, cache = multiconcept.sample_stage1_cached(
+        cfg, sched, params, key=jax.random.PRNGKey(1), height=H, width=W,
+        base_inputs=base, fusion_start=1)
+    import pytest
+    with pytest.raises(ValueError, match="concept_crop requires"):
+        multiconcept.sample_stage2_resumed(
+            cfg, sched, params, cache, base_inputs=base, controller=ctl,
+            concept_inputs=[], concept_loras=[], masks=_masks(),
+            fusion_start=1, concept_crop=True)
