@@ -78,6 +78,10 @@ class OMG:
     # "int8": quantize the UNet's transformer GEMMs for serving
     # (opt-in approximate W8A8 mode, ops/quant.py; default exact bf16).
     quantize: str = ""
+    # Opt-in approximate mode: stage-2 concept lanes on vertical strips
+    # (multiconcept._denoise_mc_range_traj_cropped). Falls back to the
+    # exact program per-request when ControlNets are in play.
+    concept_crop: bool = False
 
     def __post_init__(self):
         if self.quantize == "int8":
@@ -255,7 +259,11 @@ class OMG:
                 ip_scale=(instantid.ip_scale
                           if instantid is not None else 1.0),
                 base_controlnets=base_cns, concept_controlnets=concept_cns,
-                cn_cfg=self.cn_cfg)
+                cn_cfg=self.cn_cfg,
+                concept_crop=(self.concept_crop and not base_cns
+                              and not any(c is not None
+                                          for c in concept_cns)
+                              and (width // 8) % len(region_specs) == 0))
             img2 = self._decode(lat2)
 
         return GenerationResult(stage1=img1, stage2=img2, masks=masks)

@@ -286,3 +286,21 @@ def test_generate_lcm_few_step(engine):
     img = res.image
     assert img.shape == (32, 32, 3) and img.dtype == np.uint8
     assert np.isfinite(img.astype(np.float32)).all()
+
+
+def test_engine_concept_crop_mode(engine):
+    """concept_crop=True engine runs the strip-cropped stage 2."""
+    eng, _ = engine
+    crop_eng = omg_lib.OMG(cfg=eng.cfg, params=eng.params,
+                           tokenizer=eng.tokenizer,
+                           tokenizer_2=eng.tokenizer_2,
+                           mask_provider=eng.mask_provider,
+                           num_steps=4, concept_crop=True)
+    kw = dict(prompt_rewrite="[the man]-*-[bad]|[the woman]-*-[bad]",
+              concept_loras=[None, None], seed=6, height=H, width=W)
+    res = crop_eng.generate("the man and the woman", **kw)
+    assert res.image.shape == (H, W, 3)
+    assert np.isfinite(res.image.astype(np.float32)).all()
+    # stage 1 identical to the exact engine; stage 2 the approximate one
+    exact = eng.generate("the man and the woman", num_steps=4, **kw)
+    np.testing.assert_array_equal(res.stage1, exact.stage1)
