@@ -80,7 +80,8 @@ class OMG:
     quantize: str = ""
     # Opt-in approximate mode: stage-2 concept lanes on vertical strips
     # (multiconcept._denoise_mc_range_traj_cropped). Falls back to the
-    # exact program per-request when ControlNets are in play.
+    # exact program per-request when ControlNets are in play; the
+    # vmapped generate_batch path always runs exact.
     concept_crop: bool = False
 
     def __post_init__(self):
