@@ -328,7 +328,11 @@ def main():
             "vae_dtype": "bf16" if vae_dtype == jnp.bfloat16 else "fp32",
             "quant": quant_mode or "none",
             "scheduler": sched_name,
-            "concept_crop": os.environ.get("OMG_BENCH_CROP", "none"),
+            # canonical: records what RAN, not the raw env string (a
+            # typo like "strip" must not label an exact run as cropped)
+            "concept_crop": ("strips"
+                             if os.environ.get("OMG_BENCH_CROP") == "strips"
+                             else "none"),
             "v5e8_projection_s": v5e8_proj,
             "v5e8_projection_note": ("projection from the measured "
                                      "stage split, not an 8-chip "

@@ -150,6 +150,41 @@ def _concept_cn_residuals(concept_controlnets, concept_inputs, rl: Array,
         conditioning_scale=scale_lanes)
 
 
+def _concept_lane_conditioning(concept_inputs, concept_loras,
+                               n_base_rows: int):
+    """Conditioning stacks for the 2K concept lanes (+ zero base rows).
+
+    THE one place concept-lane stacking lives (CLAUDE.md: lane-layout
+    pieces must change together — this was previously copy-pasted in
+    four programs). Returns (c_embeds, c_tembeds, c_tids, lane_lora,
+    ip_ctx): embeds cover the 2K concept lanes only; lane_lora/ip_ctx
+    additionally cover ``n_base_rows`` leading base lanes with None-LoRA
+    / zero IP tokens. Mixed InstantID + plain-LoRA concepts are
+    supported: LoRA-only lanes get zero IP tokens (exact no-op —
+    to_v_ip is bias-free).
+    """
+    from omg_tpu import lora as lora_lib
+    K = len(concept_inputs)
+    c_embeds = jnp.concatenate([ci.prompt_embeds for ci in concept_inputs])
+    c_tembeds = jnp.concatenate([ci.text_embeds for ci in concept_inputs])
+    c_tids = jnp.concatenate([ci.time_ids for ci in concept_inputs])
+    lane_lora = lora_lib.stack_loras(
+        [None] * n_base_rows
+        + [(concept_loras[k].get("unet", concept_loras[k])
+            if concept_loras[k] is not None else None)
+           for k in range(K) for _ in range(2)])
+    ip_ctx = None
+    if any(ci.ip_context is not None for ci in concept_inputs):
+        zeros_ip = next(ci.ip_context for ci in concept_inputs
+                        if ci.ip_context is not None) * 0.0
+        parts = ([jnp.zeros((n_base_rows,) + zeros_ip.shape[1:],
+                            zeros_ip.dtype)] if n_base_rows else [])
+        parts += [ci.ip_context if ci.ip_context is not None else zeros_ip
+                  for ci in concept_inputs]
+        ip_ctx = jnp.concatenate(parts)
+    return c_embeds, c_tembeds, c_tids, lane_lora, ip_ctx
+
+
 def validate_concept_controlnets(concept_controlnets) -> None:
     """Host-side check (call BEFORE jit): all live per-concept ControlNets
     must share one params tree.
@@ -289,27 +324,9 @@ def multiconcept_step(
             lane-stacked (lora.stack_loras), so the MXU sees one b=2K
             forward instead of K small ones.
             """
-            from omg_tpu import lora as lora_lib
             rl2 = jnp.broadcast_to(lin_[3:4], (2 * K,) + lin_.shape[1:])
-            embeds = jnp.concatenate(
-                [ci.prompt_embeds for ci in concept_inputs])
-            tembeds = jnp.concatenate(
-                [ci.text_embeds for ci in concept_inputs])
-            tids = jnp.concatenate([ci.time_ids for ci in concept_inputs])
-            ip_ctx = None
-            if any(ci.ip_context is not None for ci in concept_inputs):
-                # concepts may MIX InstantID and plain-LoRA: LoRA-only
-                # lanes get zero IP tokens (exact no-op — to_v_ip is
-                # bias-free), same padding as the fast paths
-                zeros_ip = next(ci.ip_context for ci in concept_inputs
-                                if ci.ip_context is not None) * 0.0
-                ip_ctx = jnp.concatenate(
-                    [ci.ip_context if ci.ip_context is not None
-                     else zeros_ip for ci in concept_inputs])
-            stacked_lora = lora_lib.stack_loras(
-                [concept_loras[k].get("unet", concept_loras[k])
-                 if concept_loras[k] is not None else None
-                 for k in range(K)], repeat=2)
+            embeds, tembeds, tids, stacked_lora, ip_ctx = \
+                _concept_lane_conditioning(concept_inputs, concept_loras, 0)
             ipk = concept_ip_adapters[0] if concept_ip_adapters else None
 
             k_down = k_mid = None
@@ -526,7 +543,6 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     P2P addresses src_lane=0 / dst_lane=2. latent_b: [1, h, w, 4].
     """
     K = len(concept_inputs)
-    from omg_tpu import lora as lora_lib
     # base rows [cond_A, uncond_B, cond_B] from the 4-row layout's
     # [unc_A, unc_B, cond_A, cond_B] contract
     bidx = jnp.array([2, 1, 3])
@@ -538,20 +554,8 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         + [ci.text_embeds for ci in concept_inputs])
     tids = jnp.concatenate(
         [base_inputs.time_ids[bidx]] + [ci.time_ids for ci in concept_inputs])
-    lane_lora = lora_lib.stack_loras(
-        [None, None, None] + [
-            (concept_loras[k].get("unet", concept_loras[k])
-             if concept_loras[k] is not None else None)
-            for k in range(K) for _ in range(2)])
-    ip_ctx = None
-    if any(ci.ip_context is not None for ci in concept_inputs):
-        zeros_ip = next(ci.ip_context for ci in concept_inputs
-                        if ci.ip_context is not None) * 0.0
-        parts = [jnp.zeros((3,) + zeros_ip.shape[1:], zeros_ip.dtype)]
-        for ci in concept_inputs:
-            parts.append(ci.ip_context if ci.ip_context is not None
-                         else zeros_ip)
-        ip_ctx = jnp.concatenate(parts)
+    _, _, _, lane_lora, ip_ctx = _concept_lane_conditioning(
+        concept_inputs, concept_loras, 3)
     ipk = concept_ip_adapters[0] if concept_ip_adapters else None
 
     def body(i, carry):
@@ -661,7 +665,6 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                                  (latents, state))
         return x
 
-    from omg_tpu import lora as lora_lib
     if lane_sharding is not None:
         # Pin the small per-request conditioning replicated BEFORE the
         # lane stacks are built from it — otherwise GSPMD propagates the
@@ -687,21 +690,8 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     tids = jnp.concatenate(
         [base_inputs.time_ids] + [ci.time_ids for ci in concept_inputs])
     # Per-lane LoRA: 4 zero base lanes + each concept's CFG pair.
-    lane_lora = lora_lib.stack_loras(
-        [None, None] + [
-            (concept_loras[k].get("unet", concept_loras[k])
-             if concept_loras[k] is not None else None)
-            for k in range(K)], repeat=2)
-    ip_ctx = None
-    if any(ci.ip_context is not None for ci in concept_inputs):
-        zeros_ip = next(jnp.zeros_like(ci.ip_context)
-                        for ci in concept_inputs
-                        if ci.ip_context is not None)
-        parts = [jnp.zeros((4,) + zeros_ip.shape[1:], zeros_ip.dtype)]
-        for ci in concept_inputs:
-            parts.append(ci.ip_context if ci.ip_context is not None
-                         else zeros_ip)
-        ip_ctx = jnp.concatenate(parts)
+    _, _, _, lane_lora, ip_ctx = _concept_lane_conditioning(
+        concept_inputs, concept_loras, 4)
     ipk = concept_ip_adapters[0] if concept_ip_adapters else None
 
     if lane_sharding is not None:
@@ -904,25 +894,12 @@ def _denoise_mc_range_traj_cropped(
     the strips by the caller; ControlNet lanes are unsupported here.
     """
     K = len(concept_inputs)
-    from omg_tpu import lora as lora_lib
     bidx = jnp.array([2, 1, 3])
     b_embeds = base_inputs.prompt_embeds[bidx]
     b_tembeds = base_inputs.text_embeds[bidx]
     b_tids = base_inputs.time_ids[bidx]
-    c_embeds = jnp.concatenate([ci.prompt_embeds for ci in concept_inputs])
-    c_tembeds = jnp.concatenate([ci.text_embeds for ci in concept_inputs])
-    c_tids = jnp.concatenate([ci.time_ids for ci in concept_inputs])
-    lane_lora = lora_lib.stack_loras(
-        [(concept_loras[k].get("unet", concept_loras[k])
-          if concept_loras[k] is not None else None)
-         for k in range(K) for _ in range(2)])
-    ip_ctx = None
-    if any(ci.ip_context is not None for ci in concept_inputs):
-        zeros_ip = next(ci.ip_context for ci in concept_inputs
-                        if ci.ip_context is not None) * 0.0
-        ip_ctx = jnp.concatenate(
-            [ci.ip_context if ci.ip_context is not None else zeros_ip
-             for ci in concept_inputs])
+    c_embeds, c_tembeds, c_tids, lane_lora, ip_ctx = \
+        _concept_lane_conditioning(concept_inputs, concept_loras, 0)
     ipk = concept_ip_adapters[0] if concept_ip_adapters else None
     w = latent_b.shape[2]
     ws = w // K
@@ -974,6 +951,14 @@ def _denoise_mc_range_traj_cropped(
     return x
 
 
+def crop_strips_ok(cfg: sdxl.SDXLConfig, latent_w: int, k: int) -> bool:
+    """True when latent_w splits into k strips whose width survives the
+    UNet's downsample/upsample round trip (the concept-crop precondition
+    sample_stage2_resumed enforces)."""
+    ds = 2 ** (len(cfg.unet.block_out_channels) - 1)
+    return k > 0 and latent_w % k == 0 and (latent_w // k) % ds == 0
+
+
 def clip_masks_to_strips(masks: Array, n_strips: int) -> Array:
     """[K, h, w] masks -> each clipped to its vertical strip (the
     concept-crop contract: strip k covers columns [k*w/K, (k+1)*w/K))."""
@@ -1022,10 +1007,13 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
             raise ValueError(
                 "concept_crop requires the trajectory cache, >=1 "
                 "concept, no ControlNets, and no lane_sharding")
-        if masks.shape[-1] % K:
+        # strips must divide the width AND survive the UNet's
+        # downsample/upsample round trip (each level halves the width;
+        # a strip width with odd intermediates breaks the skip-concat)
+        if not crop_strips_ok(cfg, masks.shape[-1], K):
             raise ValueError(
                 f"latent width {masks.shape[-1]} not divisible into "
-                f"{K} strips")
+                f"{K} UNet-compatible strips")
         lat_b = _denoise_mc_range_traj_cropped(
             cfg, sched, unet_params, cache.latents, st, cache.a_traj,
             base_inputs, controller, tuple(concept_inputs),

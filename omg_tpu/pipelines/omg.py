@@ -261,10 +261,14 @@ class OMG:
                           if instantid is not None else 1.0),
                 base_controlnets=base_cns, concept_controlnets=concept_cns,
                 cn_cfg=self.cn_cfg,
-                concept_crop=(self.concept_crop and not base_cns
+                concept_crop=(self.concept_crop
+                              and len(region_specs) > 0
+                              and not base_cns
                               and not any(c is not None
                                           for c in concept_cns)
-                              and (width // 8) % len(region_specs) == 0))
+                              and multiconcept.crop_strips_ok(
+                                  self.cfg, width // 8,
+                                  len(region_specs))))
             img2 = self._decode(lat2)
 
         return GenerationResult(stage1=img1, stage2=img2, masks=masks)
