@@ -42,6 +42,14 @@ def main():
     p.add_argument("--quantize", default="", choices=["", "int8"],
                    help="int8: W8A8 transformer GEMMs (approximate, "
                         "faster serving; default exact bf16)")
+    p.add_argument("--scheduler", default="euler",
+                   choices=["euler", "ddim", "dpmpp_2m", "lcm"],
+                   help="lcm + --num_steps 8 is the few-step serving "
+                        "mode (requires an LCM-LoRA'd checkpoint)")
+    p.add_argument("--concept_crop", action="store_true",
+                   help="approximate mode: stage-2 concept lanes on "
+                        "vertical strips (~26%% faster e2e; falls back "
+                        "to exact per-request when ControlNets are on)")
     args = p.parse_args()
 
     from omg_tpu import loader
@@ -55,7 +63,9 @@ def main():
         args.segment_type, sam_checkpoint=args.efficientViT_checkpoint)
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
-                         num_steps=args.num_steps, quantize=args.quantize)
+                         num_steps=args.num_steps, quantize=args.quantize,
+                         scheduler=args.scheduler,
+                         concept_crop=args.concept_crop)
     registry = (Registry.from_json(args.registry) if args.registry
                 else default_registry())
 
