@@ -20,4 +20,22 @@ Design stance (vs. the torch reference, see SURVEY.md):
     compiled XLA program and can be vmapped/sharded over concepts.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+# Lazy convenience exports (keep `import omg_tpu` light — the engine
+# pulls in the full model zoo).
+_LAZY = {
+    "OMG": ("omg_tpu.pipelines.omg", "OMG"),
+    "InstantIDModels": ("omg_tpu.pipelines.omg", "InstantIDModels"),
+    "load_sdxl": ("omg_tpu.loader", "load_sdxl"),
+    "load_lora": ("omg_tpu.lora", "load_lora"),
+    "build_mask_provider": ("omg_tpu.segment", "build_mask_provider"),
+}
+
+
+def __getattr__(name):
+    if name in _LAZY:
+        import importlib
+        mod, attr = _LAZY[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'omg_tpu' has no attribute {name!r}")
