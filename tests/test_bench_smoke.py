@@ -10,8 +10,6 @@ import json
 import pathlib
 import sys
 
-import pytest
-
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 

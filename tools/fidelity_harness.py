@@ -94,7 +94,8 @@ def run_ours(args, noise_nhwc: np.ndarray):
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
                          num_steps=args.steps,
-                         quantize=getattr(args, "quantize", ""))
+                         quantize=getattr(args, "quantize", ""),
+                         concept_crop=getattr(args, "concept_crop", False))
     loras = [lora_lib.load_lora(p) if p else None
              for p in args.lora_path.split("|")]
 
@@ -158,6 +159,9 @@ def main():
     p.add_argument("--height", type=int, default=1024)
     p.add_argument("--width", type=int, default=1024)
     p.add_argument("--guidance_scale", type=float, default=7.5)
+    p.add_argument("--concept_crop", action="store_true",
+                   help="measure the approximate cropped-concept mode's "
+                        "LPIPS against the torch reference")
     p.add_argument("--quantize", default="", choices=["", "int8"],
                    help="measure the approximate int8 serving mode's "
                         "LPIPS against the torch reference")
