@@ -103,13 +103,23 @@ def main():
         from omg_tpu.models import dpt as dpt_lib
         depth_provider = dpt_lib.load_depth_model(args.dpt_checkpoint)
 
+    server = OMGServer(engine, registry, instantid=iid,
+                       controlnets=controlnets,
+                       pose_provider=pose_provider,
+                       depth_provider=depth_provider)
     if args.warmup:
         from omg_tpu.serving.warmup import default_serving_warmup
-        default_serving_warmup(cfg, steps=args.num_steps)
-
-    OMGServer(engine, registry, instantid=iid, controlnets=controlnets,
-              pose_provider=pose_provider,
-              depth_provider=depth_provider).serve(args.host, args.port)
+        # shapes come from the engine's REAL trees (packed layout,
+        # post-quantize) and a registry LoRA so the warmed jit keys are
+        # the ones real requests hit
+        sample = next(iter(server.loras.values()), None)
+        default_serving_warmup(
+            cfg, unet_params=engine.params.unet, steps=args.num_steps,
+            scheduler=args.scheduler,
+            sample_lora=(sample.get("unet", sample)
+                         if isinstance(sample, dict) else None),
+            vae_params=engine.params.vae)
+    server.serve(args.host, args.port)
 
 
 if __name__ == "__main__":

@@ -85,10 +85,16 @@ def _insert(tree: dict, path: list, value) -> None:
 
 
 def _listify(node):
-    """Convert {0: a, 1: b, ...} int-keyed dicts to lists, recursively."""
+    """Convert {0: a, 1: b, ...} int-keyed dicts to lists, recursively.
+
+    Sparse indices (paramless torch Sequential members, e.g. the GELU at
+    index 2 of the Resampler's FeedForward -> keys {0, 1, 3}) become
+    None placeholders so positional indexing still matches the torch
+    module order."""
     if isinstance(node, dict):
         if node and all(isinstance(k, int) for k in node):
-            return [_listify(node[i]) for i in range(len(node))]
+            return [_listify(node[i]) if i in node else None
+                    for i in range(max(node) + 1)]
         return {k: _listify(v) for k, v in node.items()}
     return node
 

@@ -101,8 +101,12 @@ def _clip_cfg(folder: str, fallback: cfglib.CLIPTextConfig,
     j = _read_json(folder)
     if not j:
         return dataclasses.replace(fallback, dtype=dtype)
-    with_proj = "CLIPTextModelWithProjection" in (
-        j.get("architectures") or [""])[0] or fallback.projection_dim > 0
+    arch = (j.get("architectures") or [""])[0]
+    # architectures, when declared, decides; only absent does the
+    # fallback's projection choice apply (the old `or` made with_proj
+    # unconditionally True for text_encoder_2)
+    with_proj = ("WithProjection" in arch if arch
+                 else fallback.projection_dim > 0)
     return cfglib.CLIPTextConfig(
         vocab_size=j.get("vocab_size", fallback.vocab_size),
         hidden_size=j.get("hidden_size", fallback.hidden_size),

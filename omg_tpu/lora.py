@@ -158,6 +158,12 @@ def lora_from_state_dict(sd: dict, *, weight: float = 1.0,
                 model = "text_encoder"
             elif parts[0] in ("text_encoder_2",):
                 model = "text_encoder_2"
+            elif (parts[0] in ("down_blocks", "up_blocks", "mid_block")
+                  and "lora" in key):
+                # unprefixed attn-procs export (old diffusers
+                # save_attn_procs): keys start at the block level
+                model = "unet"
+                parts = ["unet"] + parts
             else:
                 continue
             if "lora_A" in parts or "lora_A.weight" in key:
@@ -173,7 +179,10 @@ def lora_from_state_dict(sd: dict, *, weight: float = 1.0,
                 # diffusers old-style: ...processor.to_q_lora.down.weight
                 role = "down" if "down" in parts else "up"
                 idx = parts.index("down" if role == "down" else "up")
-                mod_parts = parts[1:idx]
+                # drop the processor wrapper and the _lora suffix so the
+                # path lands on the param tree's module names (to_q ...)
+                mod_parts = [t[:-5] if t.endswith("_lora") else t
+                             for t in parts[1:idx] if t != "processor"]
             else:
                 continue
             tokens = []
@@ -193,8 +202,14 @@ def lora_from_state_dict(sd: dict, *, weight: float = 1.0,
         rank = down.shape[0]
         alpha = float(parts["alpha"]) if "alpha" in parts else float(rank)
         scale = weight * alpha / rank
-        if down.ndim == 4:  # conv LoRA (1x1): [r, in, 1, 1]
-            down = down[:, :, 0, 0]
+        if down.ndim == 4:
+            if down.shape[2:] != (1, 1) or up.shape[2:] != (1, 1):
+                # kxk conv LoRA (LoCon-style) is not applied by the
+                # attention-delta runtime; skipping the delta degrades
+                # gracefully, whereas slicing a 3x3 kernel to its corner
+                # tap would silently corrupt the adapter
+                continue
+            down = down[:, :, 0, 0]  # conv LoRA (1x1): [r, in, 1, 1]
             up = up[:, :, 0, 0]
         leaf = {
             "down": jnp.asarray(down.T.astype(np.float32), dtype),

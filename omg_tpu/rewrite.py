@@ -28,7 +28,8 @@ def parse_rewrite(prompt_rewrite: str) -> List[Region]:
     regions = []
     for chunk in prompt_rewrite.split("|"):
         if chunk == "":
-            break
+            continue    # skip empty chunks (trailing '|' or a '||' typo)
+                        # without dropping the regions after them
         fields = chunk.split(SEP)
         if len(fields) == 2:
             p, n = fields

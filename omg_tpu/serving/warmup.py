@@ -4,8 +4,13 @@ Recompilation management (SURVEY.md §7 hard-part #4): the reference's
 nine SDXL aspect buckets (gradio_demo/app.py:300-309) times
 {1, 2}-concept requests would each trigger a multi-minute XLA compile on
 first hit. This walks the expected (resolution, concept-count) grid and
-AOT-compiles the stage programs from shape structs — with JAX's
-persistent compilation cache enabled, later real requests start hot.
+AOT-compiles THE PROGRAMS SERVING ACTUALLY RUNS — shapes are derived
+from the engine's own parameter trees (so packed/unpacked layout,
+dtype, and LoRA structure all match the real jit keys), and the stage
+graph mirrors sample_stage1_cached + sample_stage2_resumed:
+_denoise_cfg_range prefix, _denoise_cfg_range_traj suffix, and the
+3+2K-lane _denoise_mc_range_traj stage 2. With JAX's persistent
+compilation cache enabled, later real requests start hot.
 """
 
 from __future__ import annotations
@@ -26,20 +31,34 @@ def _sds(shape, dtype=jnp.float32):
     return jax.ShapeDtypeStruct(tuple(shape), dtype)
 
 
-def warmup(cfg: sdxl.SDXLConfig, *, steps: int = 50,
+def _shapes_of(tree):
+    return jax.tree.map(lambda x: _sds(x.shape, x.dtype), tree)
+
+
+def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
            buckets: Sequence = ((1024, 1024),),
            concept_counts: Sequence[int] = (2,),
            scheduler: str = "euler",
            fusion_fraction: float = 0.3,
+           sample_lora: Optional[dict] = None,
+           vae_params=None,
            log=print) -> int:
-    """AOT-compile denoise programs for each (bucket, K). Returns count."""
+    """AOT-compile the serving programs for each (bucket, K).
+
+    ``unet_params``: the engine's REAL weight tree (or an equal-structure
+    shape tree) — packed vs unpacked layout is part of the jit key.
+    ``sample_lora``: a representative concept-LoRA tree (e.g. from the
+    registry cache); LoRA'd requests trace a different program than
+    None-LoRA ones, so pass one to warm the path real requests take.
+    ``vae_params``: also warm the per-bucket decode when given.
+    Returns the number of compiled programs.
+    """
     dt = cfg.unet.dtype
     d = cfg.unet.cross_attention_dim
     pdim = cfg.text_encoder_2.projection_dim or cfg.text_encoder_2.hidden_size
     sched = schedulers.make_schedule(scheduler, steps)
-    params = jax.eval_shape(
-        lambda k: __import__("omg_tpu.models.unet", fromlist=["x"])
-        .init_params(k, cfg.unet), jax.random.PRNGKey(0))
+    params = _shapes_of(unet_params)
+    lora_s = _shapes_of(sample_lora) if sample_lora is not None else None
     n = 0
     for height, width in buckets:
         h, w = height // 8, width // 8
@@ -53,9 +72,11 @@ def warmup(cfg: sdxl.SDXLConfig, *, steps: int = 50,
         fusion_start = round(steps * fusion_fraction)
         boundary = min(fusion_start + 1, steps)
         t0 = time.time()
+        # stage 1 = prefix + trajectory-recording suffix
+        # (multiconcept.sample_stage1_cached)
         multiconcept._denoise_cfg_range.lower(
             cfg, sched, params, lat, st, base, i0=0, i1=boundary).compile()
-        multiconcept._denoise_cfg_range.lower(
+        multiconcept._denoise_cfg_range_traj.lower(
             cfg, sched, params, lat, st, base, i0=boundary,
             i1=steps).compile()
         n += 2
@@ -64,25 +85,37 @@ def warmup(cfg: sdxl.SDXLConfig, *, steps: int = 50,
         ctl_s = jax.tree.map(
             lambda x: _sds(x.shape, x.dtype) if hasattr(x, "shape") else x,
             ctl)
+        a_traj = _sds((max(steps - boundary, 0), 1, h, w, 4), dt)
         for K in concept_counts:
+            # stage 2 = the 3+2K-lane trajectory-fed program
+            # (multiconcept.sample_stage2_resumed's single-chip path)
             concept = multiconcept.ConceptInputs(
                 _sds((2, 77, d), dt), _sds((2, pdim), dt), _sds((2, 6)),
                 None)
-            lat2 = _sds((2, h, w, 4), dt)
-            st2 = schedulers.SchedulerState(
-                _sds((2, h, w, 4)), _sds((), jnp.int32),
-                _sds((2,), jnp.uint32))
             masks = _sds((K, h, w))
-            multiconcept._denoise_mc_range.lower(
-                cfg, sched, params, lat2, st2, base, ctl_s,
-                tuple([concept] * K), tuple([None] * K), masks,
+            multiconcept._denoise_mc_range_traj.lower(
+                cfg, sched, params, lat, st, a_traj, base, ctl_s,
+                tuple([concept] * K), tuple([lora_s] * K), masks,
                 i0=boundary, fusion_start=fusion_start).compile()
             n += 1
+        if vae_params is not None:
+            # engine._decode decodes the [2, h, w, 4] stage outputs
+            sdxl.decode_latents.lower(
+                cfg, _shapes_of(vae_params), _sds((2, h, w, 4), dt)
+            ).compile()
+            n += 1
         log(f"warmup {height}x{width}: {time.time() - t0:.1f}s "
-            f"({len(concept_counts)} concept variants)")
+            f"({len(concept_counts)} concept variants"
+            f"{', lora' if lora_s is not None else ''}"
+            f"{', vae' if vae_params is not None else ''})")
     return n
 
 
-def default_serving_warmup(cfg, steps: int = 50, log=print) -> int:
-    return warmup(cfg, steps=steps, buckets=RESOLUTIONS,
-                  concept_counts=(1, 2), log=log)
+def default_serving_warmup(cfg, *, unet_params, steps: int = 50,
+                           scheduler: str = "euler",
+                           sample_lora: Optional[dict] = None,
+                           vae_params=None, log=print) -> int:
+    return warmup(cfg, unet_params=unet_params, steps=steps,
+                  buckets=RESOLUTIONS, concept_counts=(1, 2),
+                  scheduler=scheduler, sample_lora=sample_lora,
+                  vae_params=vae_params, log=log)

@@ -166,3 +166,88 @@ def test_ip_adapter_bin_layout():
     assert out["ip_adapter"][0]["to_k_ip"]["weight"].shape == (48, 24)
     assert out["image_proj"]["proj_in"]["weight"].shape == (16, 32)
     assert out["image_proj"]["latents"].shape == (1, 4, 32)
+
+
+def test_convert_ip_adapter_real_layout():
+    """convert_ip_adapter on a checkpoint-shaped state dict INCLUDING the
+    Resampler's layers.* keys — the FeedForward Sequential has sparse
+    param indices {0, 1, 3} (index 2 is the paramless GELU), which a
+    dense-only listify crashed on (KeyError: 2). The converted tree must
+    drive resampler.apply end-to-end."""
+    import numpy as np
+
+    from omg_tpu import config as cfglib
+    from omg_tpu import convert
+    from omg_tpu.models import resampler as rs_lib
+
+    cfg = cfglib.tiny_resampler()
+    inner = cfg.dim_head * cfg.heads
+    rng = np.random.default_rng(0)
+
+    def r(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    sd = {
+        "image_proj.latents": r(1, cfg.num_queries, cfg.dim),
+        "image_proj.proj_in.weight": r(cfg.dim, cfg.embedding_dim),
+        "image_proj.proj_in.bias": r(cfg.dim),
+        "image_proj.proj_out.weight": r(cfg.output_dim, cfg.dim),
+        "image_proj.proj_out.bias": r(cfg.output_dim),
+        "image_proj.norm_out.weight": r(cfg.output_dim),
+        "image_proj.norm_out.bias": r(cfg.output_dim),
+    }
+    for i in range(cfg.depth):
+        p = f"image_proj.layers.{i}."
+        sd.update({
+            p + "0.norm1.weight": r(cfg.dim), p + "0.norm1.bias": r(cfg.dim),
+            p + "0.norm2.weight": r(cfg.dim), p + "0.norm2.bias": r(cfg.dim),
+            p + "0.to_q.weight": r(inner, cfg.dim),
+            p + "0.to_kv.weight": r(2 * inner, cfg.dim),
+            p + "0.to_out.weight": r(cfg.dim, inner),
+            # torch FeedForward Sequential: 0 LayerNorm, 1 Linear,
+            # 2 GELU (no params), 3 Linear
+            p + "1.0.weight": r(cfg.dim), p + "1.0.bias": r(cfg.dim),
+            p + "1.1.weight": r(cfg.dim * cfg.ff_mult, cfg.dim),
+            p + "1.3.weight": r(cfg.dim, cfg.dim * cfg.ff_mult),
+        })
+    # decoupled IP cross-attention halves (layer keys 1, 3, ...)
+    for li in (1, 3):
+        sd[f"ip_adapter.{li}.to_k_ip.weight"] = r(8, cfg.output_dim)
+        sd[f"ip_adapter.{li}.to_v_ip.weight"] = r(8, cfg.output_dim)
+
+    out = convert.convert_ip_adapter(sd, dtype=jnp.float32)
+    tree = out["image_proj"]
+    ff = tree["layers"][0][1]
+    assert ff[2] is None                    # the GELU placeholder
+    assert ff[1]["weight"].shape == (cfg.dim, cfg.dim * cfg.ff_mult)
+
+    tokens = rs_lib.apply(tree, cfg, jnp.ones((2, 1, cfg.embedding_dim)))
+    assert tokens.shape == (2, cfg.num_queries, cfg.output_dim)
+    assert bool(jnp.isfinite(tokens).all())
+    assert len(out["ip_adapter"]) == 2
+
+
+def test_clip_cfg_architectures_precedence(tmp_path):
+    """A declared architectures list decides the projection head; the
+    fallback's projection only applies when config.json is silent (the
+    old `or` made with_proj always True for text_encoder_2)."""
+    import json as _json
+
+    from omg_tpu import config as cfglib
+    from omg_tpu import loader
+
+    d = tmp_path / "text_encoder_2"
+    d.mkdir()
+    (d / "config.json").write_text(_json.dumps({
+        "architectures": ["CLIPTextModel"], "hidden_size": 64,
+        "num_hidden_layers": 2, "num_attention_heads": 4,
+        "intermediate_size": 128}))
+    cfg = loader._clip_cfg(str(d), cfglib.sdxl_text_encoder_2(),
+                           jnp.float32)
+    assert cfg.projection_dim == 0          # architectures wins
+    (d / "config.json").write_text(_json.dumps({
+        "architectures": ["CLIPTextModelWithProjection"],
+        "hidden_size": 64, "projection_dim": 77}))
+    cfg = loader._clip_cfg(str(d), cfglib.sdxl_text_encoder_2(),
+                           jnp.float32)
+    assert cfg.projection_dim == 77

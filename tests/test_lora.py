@@ -137,3 +137,43 @@ def test_scale_lora():
                "scale": jnp.asarray(2.0)}}
     s = lora_lib.scale_lora(a, 0.8)
     np.testing.assert_allclose(float(s["m"]["scale"]), 1.6)
+
+
+def test_parse_old_style_attn_procs_format():
+    """Old diffusers attn-procs export: unprefixed block-level keys with
+    processor/to_q_lora wrappers must land on the param tree's to_q path
+    (previously this branch produced deltas that never applied)."""
+    rng = np.random.default_rng(0)
+    pre = "down_blocks.1.attentions.0.transformer_blocks.0.attn1"
+    sd = {
+        f"{pre}.processor.to_q_lora.down.weight":
+            rng.standard_normal((4, 16)).astype(np.float32),
+        f"{pre}.processor.to_q_lora.up.weight":
+            rng.standard_normal((16, 4)).astype(np.float32),
+    }
+    tree = lora_lib.lora_from_state_dict(sd)
+    leaf = tree["unet"]["down_blocks"][1]["attentions"][0][
+        "transformer_blocks"][0]["attn1"]["to_q"]
+    assert leaf["down"].shape == (16, 4)     # [in, r]
+    assert leaf["up"].shape == (4, 16)       # [r, out]
+
+
+def test_parse_skips_kxk_conv_lora():
+    """3x3 conv (LoCon) deltas are skipped, not corner-sliced."""
+    rng = np.random.default_rng(1)
+    sd = {
+        "unet.down_blocks.0.resnets.0.conv1.lora_A.weight":
+            rng.standard_normal((4, 16, 3, 3)).astype(np.float32),
+        "unet.down_blocks.0.resnets.0.conv1.lora_B.weight":
+            rng.standard_normal((16, 4, 3, 3)).astype(np.float32),
+        # a normal linear delta in the same dict still parses
+        "unet.mid_block.attentions.0.transformer_blocks.0.attn1."
+        "to_q.lora_A.weight": rng.standard_normal((4, 8)).astype(np.float32),
+        "unet.mid_block.attentions.0.transformer_blocks.0.attn1."
+        "to_q.lora_B.weight": rng.standard_normal((8, 4)).astype(np.float32),
+    }
+    tree = lora_lib.lora_from_state_dict(sd)
+    assert "resnets" not in str(
+        jax.tree_util.tree_structure(tree["unet"]))
+    assert "to_q" in tree["unet"]["mid_block"]["attentions"][0][
+        "transformer_blocks"][0]["attn1"]

@@ -304,3 +304,12 @@ def test_engine_concept_crop_mode(engine):
     # stage 1 identical to the exact engine; stage 2 the approximate one
     exact = eng.generate("the man and the woman", num_steps=4, **kw)
     np.testing.assert_array_equal(res.stage1, exact.stage1)
+
+
+def test_parse_rewrite_doubled_pipe():
+    """A '||' typo must not silently drop the regions after it."""
+    from omg_tpu import rewrite
+    regions = rewrite.parse_rewrite(
+        "[a man]-*-[ugly]||[a woman]-*-[ugly]")
+    assert len(regions) == 2
+    assert regions[1].prompt.strip("[]") == "a woman"

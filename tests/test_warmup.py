@@ -1,13 +1,87 @@
-"""AOT warmup compiles the stage programs from shape structs only."""
+"""AOT warmup must compile THE programs serving actually runs."""
 
-from omg_tpu.pipelines import sdxl
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from omg_tpu.control import p2p
+from omg_tpu.diffusion import schedulers
+from omg_tpu.models import unet as unet_lib
+from omg_tpu.models import vae as vae_lib
+from omg_tpu.pipelines import multiconcept, sdxl
 from omg_tpu.serving import warmup
 
 
-def test_warmup_tiny():
+def _unet_shapes(cfg, packed):
+    params = unet_lib.init_params(jax.random.PRNGKey(0), cfg.unet)
+    if packed:
+        params = unet_lib.pack_params(params)
+    return params
+
+
+def test_warmup_tiny_counts():
     cfg = sdxl.tiny_config()
+    params = _unet_shapes(cfg, packed=False)
+    vae_params = vae_lib.init_params(jax.random.PRNGKey(1), cfg.vae)
     msgs = []
-    n = warmup.warmup(cfg, steps=3, buckets=((32, 32),),
-                      concept_counts=(1, 2), log=msgs.append)
-    assert n == 4  # 2 cfg-range programs + 2 concept variants
+    n = warmup.warmup(cfg, unet_params=params, steps=3,
+                      buckets=((32, 32),), concept_counts=(1, 2),
+                      vae_params=vae_params, log=msgs.append)
+    assert n == 5  # prefix + traj suffix + 2 concept variants + vae
     assert len(msgs) == 1
+
+
+def test_warmup_matches_real_serving_programs():
+    """The warmed stage-2 lowering must be IDENTICAL (HLO text) to what a
+    real sample_stage1_cached -> sample_stage2_resumed flow lowers —
+    packed params, trajectory-fed program and all. (The round-2 warmup
+    compiled unpacked non-traj programs: every warmed key missed.)"""
+    cfg = sdxl.tiny_config()
+    steps, H, W = 3, 32, 32
+    params = _unet_shapes(cfg, packed=True)   # loader default pack=True
+    sched = schedulers.make_schedule("euler", steps)
+    d = cfg.unet.cross_attention_dim
+    pdim = cfg.text_encoder_2.projection_dim
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    base = multiconcept.make_base_inputs(
+        jax.random.normal(ks[0], (1, 77, d)),
+        jax.random.normal(ks[1], (1, pdim)),
+        jax.random.normal(ks[2], (1, 77, d)),
+        jax.random.normal(ks[3], (1, pdim)),
+        sdxl.add_time_ids((H, W), (0, 0), (H, W)), 7.5)
+    concept = multiconcept.make_concept_inputs(
+        jax.random.normal(ks[0], (1, 77, d)),
+        jax.random.normal(ks[1], (1, pdim)),
+        jax.random.normal(ks[2], (1, 77, d)),
+        jax.random.normal(ks[3], (1, pdim)),
+        sdxl.add_time_ids((H, W), (0, 0), (H, W)))
+    ctl = p2p.P2PControl.build(["x", "x"], steps, width=W // 32,
+                               height=H // 32)
+    fusion_start = round(steps * 0.3)
+    boundary = min(fusion_start + 1, steps)
+    _, cache = multiconcept.sample_stage1_cached(
+        cfg, sched, params, key=jax.random.PRNGKey(3), height=H, width=W,
+        base_inputs=base, fusion_start=fusion_start)
+    masks = jnp.asarray(np.ones((2, H // 8, W // 8), np.float32))
+    real = multiconcept._denoise_mc_range_traj.lower(
+        cfg, sched, params, cache.latents, cache.sched_state,
+        cache.a_traj, base, ctl, (concept, concept), (None, None), masks,
+        i0=boundary, fusion_start=fusion_start).as_text()
+
+    lowered = []
+    orig = multiconcept._denoise_mc_range_traj.lower
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        lowered.append(out.as_text())
+        return out
+
+    multiconcept._denoise_mc_range_traj.lower = spy
+    try:
+        warmup.warmup(cfg, unet_params=params, steps=steps,
+                      buckets=((H, W),), concept_counts=(2,),
+                      fusion_fraction=0.3, log=lambda *_: None)
+    finally:
+        multiconcept._denoise_mc_range_traj.lower = orig
+    assert len(lowered) == 1
+    assert lowered[0] == real
