@@ -58,29 +58,30 @@ def parse_args():
 
 
 def get_face_info(image_path: str):
-    """-> (kps [5,2], embedding [512]) for the largest face."""
+    """-> (kps [5,2], embedding [512]) for the largest face.
+
+    Falls back to ``<image>.arcface.npy`` / ``<image>.kps.npy`` sidecars
+    on ANY insightface failure (not just ImportError — e.g. the
+    antelopev2 ONNX models being absent, or an unreadable image), with
+    an actionable message otherwise."""
     npy_emb = image_path + ".arcface.npy"
     npy_kps = image_path + ".kps.npy"
     try:
-        from insightface.app import FaceAnalysis
-        import cv2
-        app = FaceAnalysis(name="antelopev2",
-                           providers=["CPUExecutionProvider"])
-        app.prepare(ctx_id=0, det_size=(640, 640))
-        img = cv2.imread(image_path)
-        faces = app.get(img)
-        # largest face (reference: instantid_pipeline.py:757-768)
-        face = max(faces, key=lambda f: (f.bbox[2] - f.bbox[0])
-                   * (f.bbox[3] - f.bbox[1]))
-        return np.asarray(face.kps), np.asarray(face.embedding)
-    except ImportError:
+        from PIL import Image
+
+        from omg_tpu import instantid as iid_lib
+        img = np.asarray(Image.open(image_path).convert("RGB"))
+        kps, emb = iid_lib.analyze_face(img)   # cached FaceAnalysis app
+        return kps, emb
+    except Exception as e:
         if os.path.exists(npy_emb):
             kps = (np.load(npy_kps) if os.path.exists(npy_kps)
                    else np.zeros((5, 2), np.float32))
             return kps, np.load(npy_emb)
         raise RuntimeError(
-            f"insightface unavailable and no sidecar {npy_emb}; precompute "
-            "the ArcFace embedding (512-d .npy) for each reference image")
+            f"face analysis failed for {image_path} ({e}) and no sidecar "
+            f"{npy_emb}; precompute the ArcFace embedding (512-d .npy) "
+            "for each reference image") from e
 
 
 def main():
@@ -112,21 +113,39 @@ def main():
         args.segment_type, sam_checkpoint=args.efficientViT_checkpoint)
 
     regions = parse_rewrite(args.prompt_rewrite)
-    face_embeds, all_kps = [], []
+    face_embeds = []
     for r in regions:
         if r.ref_image:
-            kps, emb = get_face_info(r.ref_image)
-            face_embeds.append(emb)
-            all_kps.append(kps)
-        else:
+            _kps, emb = get_face_info(r.ref_image)
+            face_embeds.append(emb)     # reference-photo kps are NOT a
+        else:                           # canvas-frame layout; see below
             face_embeds.append(None)
 
-    # Multi-face keypoint condition image for IdentityNet (reference:
-    # draw_kps_multi, inference_instantid.py:127-156) — rendered from
-    # the stage-1 detected faces in the reference; here from reference
-    # kps scaled into the canvas as a layout prior.
-    kps_image = instantid.draw_kps(args.height, args.width, all_kps) \
-        if all_kps else None
+    # IdentityNet keypoint condition: the reference detects faces on the
+    # STAGE-1 image and renders their skeletons at canvas coordinates
+    # (face_app.get + draw_kps_multi, inference_instantid.py:352-354);
+    # the engine calls this provider between the stages. Degrades to no
+    # IdentityNet condition when face analysis is unavailable.
+    def kps_provider(stage1_img):
+        try:
+            return instantid.stage1_kps_provider(stage1_img)
+        except Exception as e:
+            print(f"warning: stage-1 face analysis failed ({e}); "
+                  "running stage 2 without the IdentityNet condition")
+            return None
+
+    # optional spatial ControlNet alongside IdentityNet (reference:
+    # controlnet2, inference_instantid.py:216-218 + kwargs t2i_image)
+    cn_kwargs = {}
+    if args.controlnet_checkpoint and args.spatial_condition:
+        sp_cfg, sp_params = loader.load_controlnet(
+            args.controlnet_checkpoint)
+        cond = np.asarray(Image.open(args.spatial_condition)
+                          .convert("RGB").resize((args.width,
+                                                  args.height)))
+        cn_kwargs = dict(spatial_condition=cond,
+                         controlnet_params=sp_params,
+                         controlnet_scale=args.controlnet_ratio)
 
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
@@ -138,7 +157,7 @@ def main():
         seed=args.seed, height=args.height, width=args.width,
         guidance_scale=args.guidance_scale,
         instantid=iid, face_embeddings=face_embeds,
-        face_kps_image=kps_image)
+        face_kps_provider=kps_provider, **cn_kwargs)
 
     configs = [
         f"pretrained_model: {args.pretrained_model}\n",

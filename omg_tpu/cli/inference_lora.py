@@ -77,14 +77,30 @@ def main():
             Image.open(args.spatial_condition).convert("RGB").resize(
                 (args.width, args.height)))
 
+    # --sam_checkpoint (the original-SAM flag of the GroundingDINO path,
+    # reference inference_lora.py) takes priority when explicitly given:
+    # convert_sam_checkpoint auto-detects the encoder family, so both
+    # flags feed the same provider. --dino_checkpoint has no in-framework
+    # consumer (detection is the SAM-proposals x CLIP ranker or an
+    # injected box_provider) — warn instead of silently dropping it.
+    if args.segment_type.lower() == "groundingdino":
+        # reference pairing: GroundingDINO + original SAM-ViT-H
+        # (inference_lora.py:92-112); detection itself runs in-framework
+        # (segment/detector.py) or via an injected box_provider, so the
+        # DINO checkpoint has no consumer here
+        print("note: --dino_checkpoint is accepted for reference "
+              "compatibility but unused; detection runs in-framework")
+        sam_ckpt = args.sam_checkpoint
+    else:
+        sam_ckpt = args.efficientViT_checkpoint
     provider = build_mask_provider(
-        args.segment_type,
-        sam_checkpoint=args.efficientViT_checkpoint or args.sam_checkpoint)
+        args.segment_type, sam_checkpoint=sam_ckpt)
 
     concept_loras = [lora_lib.load_lora(p)
                      for p in args.lora_path.split("|") if p]
+    # a typo'd style path must fail loudly, not produce an unstyled image
     style = (lora_lib.load_lora(args.style_lora)
-             if args.style_lora and os.path.exists(args.style_lora) else None)
+             if args.style_lora else None)
 
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,

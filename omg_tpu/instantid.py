@@ -176,6 +176,30 @@ def _face_analysis_app():
     return _FACE_APP
 
 
+def analyze_faces(image_rgb: np.ndarray):
+    """[(kps [5,2], embedding [512]), ...] for ALL detected faces.
+
+    The reference detects every face on the STAGE-1 image and renders
+    all their keypoint skeletons as the stage-2 IdentityNet condition
+    (face_app.get + draw_kps_multi, inference_instantid.py:352-354)."""
+    app = _face_analysis_app()
+    faces = app.get(image_rgb[:, :, ::-1])
+    return [(np.asarray(f.kps, np.float32),
+             np.asarray(f.embedding, np.float32)) for f in faces]
+
+
+def stage1_kps_provider(image_rgb: np.ndarray):
+    """Default face_kps_provider for OMG.generate: detect all faces on
+    the stage-1 image and render their skeletons AT CANVAS COORDINATES
+    (reference-photo keypoints live in the photo's own frame and would
+    land in the wrong place)."""
+    faces = analyze_faces(image_rgb)
+    if not faces:
+        return None
+    return draw_kps(image_rgb.shape[0], image_rgb.shape[1],
+                    [k for k, _ in faces])
+
+
 def analyze_face(image_rgb: np.ndarray):
     """-> (kps [5, 2], embedding [512]) for the LARGEST face in the image.
 

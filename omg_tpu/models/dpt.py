@@ -169,9 +169,8 @@ def _vit_layer(p: Params, x: Array, cfg: DPTConfig) -> Array:
 def _embed(p: Params, cfg: DPTConfig, pixel_values: Array) -> tuple:
     """pixel_values: [B, H, W, 3] -> (tokens [B, 1+N, D], grid (gh, gw))."""
     e = p["embeddings"]
-    x = layers.conv2d({"weight": e["projection"]["weight"],
-                       "bias": e["projection"]["bias"]},
-                      pixel_values, stride=cfg.patch_size, padding=0)
+    x = layers.conv2d(e["projection"], pixel_values,
+                      stride=cfg.patch_size, padding=0)
     b, gh, gw, d = x.shape
     tokens = x.reshape(b, gh * gw, d)
 

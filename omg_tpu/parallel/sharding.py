@@ -34,18 +34,47 @@ def unet_tp_sharding(params: dict, mesh: Mesh) -> Any:
     col_b = NamedSharding(mesh, P(MODEL_AXIS))
     row_w = NamedSharding(mesh, P(MODEL_AXIS, None))
 
+    # scan-packed (pack_params) stacked leaves carry a leading depth
+    # axis: [depth, in, out] — shard the same logical dims, depth
+    # replicated
+    col_w3 = NamedSharding(mesh, P(None, None, MODEL_AXIS))
+    col_b2 = NamedSharding(mesh, P(None, MODEL_AXIS))
+    row_w3 = NamedSharding(mesh, P(None, MODEL_AXIS, None))
+
+    def proj(node, col: bool):
+        """Sharding for one projection dict: handles the plain
+        {'weight' [in,out]}, the scan-stacked [depth,in,out], and the
+        int8-quantized {'weight_q','w_scale'} layouts — a key-name miss
+        here would silently replicate (TP as a no-op) or shard the
+        wrong axis."""
+        out = {}
+        for k, v in node.items():
+            nd = getattr(v, "ndim", None)
+            if k in ("weight", "weight_q"):
+                if nd == 3:
+                    out[k] = col_w3 if col else row_w3
+                else:
+                    out[k] = col_w if col else row_w
+            elif k == "w_scale":   # per-OUT-column scales
+                if col:
+                    out[k] = col_b2 if nd == 2 else col_b
+                else:
+                    out[k] = rep
+            elif k == "bias":
+                if col:
+                    out[k] = col_b2 if nd == 2 else col_b
+                else:
+                    out[k] = rep   # bias added after the psum
+            else:
+                out[k] = jax.tree.map(lambda _: rep, v)
+        return out
+
     def walk(node, key=None):
         if isinstance(node, dict):
-            if key in _COL_KEYS and "weight" in node:
-                out = {"weight": col_w}
-                if "bias" in node:
-                    out["bias"] = col_b
-                return out
-            if key in _ROW_KEYS and "weight" in node:
-                out = {"weight": row_w}
-                if "bias" in node:
-                    out["bias"] = rep  # bias added after the psum
-                return out
+            if key in _COL_KEYS and ("weight" in node or "weight_q" in node):
+                return proj(node, col=True)
+            if key in _ROW_KEYS and ("weight" in node or "weight_q" in node):
+                return proj(node, col=False)
             return {k: walk(v, k) for k, v in node.items()}
         if isinstance(node, (list, tuple)):
             return type(node)(walk(v, key) for v in node)

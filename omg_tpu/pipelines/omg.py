@@ -132,6 +132,7 @@ class OMG:
                  instantid: Optional[InstantIDModels] = None,
                  face_embeddings: Sequence[Optional[np.ndarray]] = (),
                  face_kps_image: Optional[np.ndarray] = None,
+                 face_kps_provider=None,
                  masks: Optional[Sequence[Optional[np.ndarray]]] = None,
                  fusion_start: Optional[int] = None,
                  initial_noise: Optional[np.ndarray] = None,
@@ -155,6 +156,7 @@ class OMG:
         loras_final: list = []
         ip_adapters: list = []
         concept_cns: list = []
+        concept_ip_ctxs: list = []
         for k, region in enumerate(region_specs):
             # Region prompts encode with the concept's text-encoder LoRA
             # active (reference: set_adapters before region encode_prompt,
@@ -202,14 +204,12 @@ class OMG:
 
             if instantid is not None:
                 ip_adapters.append(instantid.ip_adapter_layers)
-                if (instantid.identitynet_params is not None
-                        and face_kps_image is not None):
-                    concept_cns.append(multiconcept.ControlNetInputs(
-                        params=instantid.identitynet_params,
-                        cond_image=jnp.asarray(face_kps_image,
-                                               jnp.float32)[None] / 255.0,
-                        scale=jnp.asarray(instantid.identitynet_scale),
-                        encoder_hidden_states=ip_ctx))
+                # IdentityNet conditions are built AFTER stage 1: the
+                # reference renders the kps of faces detected on the
+                # stage-1 image (inference_instantid.py:352-354), so the
+                # condition image may not exist yet — stash the
+                # per-concept image-prompt tokens for then
+                concept_ip_ctxs.append(ip_ctx)
 
         base_cns = []
         if spatial_condition is not None and controlnet_params is not None:
@@ -245,6 +245,23 @@ class OMG:
                     m = self.mask_provider(img1[1], cls)
                 masks.append(m)
         masks = list(masks)
+
+        # IdentityNet conditions: kps of the faces DETECTED ON STAGE 1,
+        # at canvas coordinates (reference: face_app.get(stage1) +
+        # draw_kps_multi, inference_instantid.py:352-354); an explicit
+        # face_kps_image (canvas-frame) overrides.
+        if (instantid is not None
+                and instantid.identitynet_params is not None):
+            if face_kps_image is None and face_kps_provider is not None:
+                face_kps_image = face_kps_provider(img1[1])
+            if face_kps_image is not None:
+                kimg = jnp.asarray(face_kps_image, jnp.float32)[None] / 255.0
+                for ip_ctx in concept_ip_ctxs:
+                    concept_cns.append(multiconcept.ControlNetInputs(
+                        params=instantid.identitynet_params,
+                        cond_image=kimg,
+                        scale=jnp.asarray(instantid.identitynet_scale),
+                        encoder_hidden_states=ip_ctx))
 
         # --- stage 2 ---------------------------------------------------
         img2 = None
@@ -338,6 +355,7 @@ class OMG:
             return out
 
         unsupported = ("instantid", "face_embeddings", "face_kps_image",
+                       "face_kps_provider",
                        "spatial_condition", "controlnet_params", "masks")
         if len(requests) == 1 or any(
                 r.get(k) for r in requests for k in unsupported):

@@ -224,7 +224,6 @@ def decode_masks(decoder: Params, prompt: Params, image_emb: Array,
     hyper = jnp.stack([
         _mlp3(decoder["output_hypernetworks_mlps"][i], mask_out[:, i])
         for i in range(NUM_MASK_TOKENS)], axis=1)      # [B, 4, 32]
-    uh, uw, uc = up.shape[1], up.shape[2], up.shape[3]
     masks = jnp.einsum("bkc,bhwc->bkhw", hyper, up)
     iou_pred = _mlp3(decoder["iou_prediction_head"], iou_out)
     return masks, iou_pred

@@ -358,7 +358,7 @@ class OMGServer:
         style = self.loras.get(job.get("style", ""))
 
         iid_kwargs = {}
-        embeds, all_kps = None, []
+        embeds = None
         if self.instantid is not None and job.get("face_images"):
             # raw reference face photos: analyze server-side (the
             # reference's app_instantID.py upload flow, :513-520)
@@ -370,22 +370,32 @@ class OMGServer:
                     continue
                 img = np.asarray(PIL.Image.open(
                     io.BytesIO(base64.b64decode(b64))).convert("RGB"))
-                kps, emb = self._face_info(img)
+                _kps, emb = self._face_info(img)
                 embeds.append(np.asarray(emb, np.float32))
-                all_kps.append(np.asarray(kps, np.float32))
         elif self.instantid is not None and job.get("face_embeddings"):
             embeds = [np.asarray(e, np.float32) if e is not None else None
                       for e in job["face_embeddings"]]
         if embeds is not None:
             from omg_tpu import instantid as iid_lib
+            iid_kwargs = dict(instantid=self.instantid,
+                              face_embeddings=embeds)
             if job.get("face_kps"):
+                # explicit canvas-frame keypoints from the client
                 all_kps = [np.asarray(k, np.float32)
                            for k in job["face_kps"]]
-            kps_img = (iid_lib.draw_kps(height, width, all_kps)
-                       if all_kps else None)
-            iid_kwargs = dict(instantid=self.instantid,
-                              face_embeddings=embeds,
-                              face_kps_image=kps_img)
+                iid_kwargs["face_kps_image"] = iid_lib.draw_kps(
+                    height, width, all_kps)
+            else:
+                # reference semantics: kps of the faces detected on the
+                # STAGE-1 image (inference_instantid.py:352-354) — the
+                # uploaded reference photos' kps live in the photos'
+                # own frames and are NOT a canvas layout
+                def _provider(stage1_img):
+                    try:
+                        return iid_lib.stage1_kps_provider(stage1_img)
+                    except Exception:
+                        return None
+                iid_kwargs["face_kps_provider"] = _provider
 
         cn_kwargs = {}
         kind = conditions.condition_kind(job.get("condition"))

@@ -313,3 +313,76 @@ def test_parse_rewrite_doubled_pipe():
         "[a man]-*-[ugly]||[a woman]-*-[ugly]")
     assert len(regions) == 2
     assert regions[1].prompt.strip("[]") == "a woman"
+
+
+def _nonzero_zero_convs(cn_params):
+    """Random-init ControlNets have FAITHFULLY zero zero-conv heads, so
+    their residuals are exactly zero and condition changes are invisible
+    at test scale; perturb the heads so conditioning has an effect."""
+    import jax.numpy as jnp
+    out = dict(cn_params)
+    k = jax.random.PRNGKey(99)
+    out["controlnet_mid_block"] = {
+        "weight": jax.random.normal(
+            k, cn_params["controlnet_mid_block"]["weight"].shape) * 0.2,
+        "bias": cn_params["controlnet_mid_block"]["bias"]}
+    return out
+
+
+def test_generate_instantid_stage1_kps_provider(engine):
+    """face_kps_provider is invoked with the STAGE-1 image between the
+    stages (reference: face_app.get(stage1) + draw_kps_multi,
+    inference_instantid.py:352-354), and its rendering conditions the
+    IdentityNet; a None return degrades to no IdentityNet condition."""
+    import jax.numpy as jnp
+    from omg_tpu import config as cfglib
+    from omg_tpu import instantid
+    from omg_tpu.models import controlnet as cn_lib
+    from omg_tpu.models import resampler as rs_lib
+    from omg_tpu.models import unet as unet_lib
+    from omg_tpu.nn.attention import init_ip_kv
+
+    eng, _ = engine
+    rs_cfg = cfglib.tiny_resampler()
+    cn_cfg = cfglib.tiny_controlnet()
+    iid = omg_lib.InstantIDModels(
+        resampler_cfg=rs_cfg,
+        resampler_params=rs_lib.init_params(jax.random.PRNGKey(1), rs_cfg),
+        ip_adapter_layers=[
+            init_ip_kv(jax.random.PRNGKey(10 + i),
+                       eng.cfg.unet.cross_attention_dim, 64)
+            for i in range(unet_lib.num_cross_attention_layers(
+                eng.cfg.unet))],
+        identitynet_params=_nonzero_zero_convs(
+            cn_lib.init_params(jax.random.PRNGKey(2), cn_cfg)),
+        identitynet_cfg=cn_cfg)
+    eng2 = omg_lib.OMG(cfg=eng.cfg, params=eng.params,
+                       tokenizer=eng.tokenizer,
+                       tokenizer_2=eng.tokenizer_2,
+                       mask_provider=eng.mask_provider, num_steps=4,
+                       cn_cfg=cn_cfg)
+
+    seen = []
+
+    def provider(stage1_img):
+        seen.append(stage1_img.shape)
+        kps = [np.array([[10, 12], [22, 12], [16, 18], [12, 24],
+                         [20, 24]], np.float32)]
+        return instantid.draw_kps(H, W, kps)
+
+    kw = dict(negative_prompt="bad",
+              prompt_rewrite="[the man]-*-[bad]|[the woman]-*-[bad]",
+              seed=5, height=H, width=W, guidance_scale=3.0,
+              instantid=iid,
+              face_embeddings=[np.random.randn(16).astype(np.float32)] * 2)
+    res = eng2.generate("the man and the woman",
+                        face_kps_provider=provider, **kw)
+    assert seen == [(H, W, 3)]             # called once, stage-1 frame
+    assert res.stage2 is not None
+
+    # provider returning None -> stage 2 still runs, no IdentityNet CN
+    res_none = eng2.generate("the man and the woman",
+                             face_kps_provider=lambda img: None, **kw)
+    assert res_none.stage2 is not None
+    # the kps condition changed the output vs the unconditioned run
+    assert not np.array_equal(res.stage2, res_none.stage2)

@@ -77,3 +77,32 @@ def test_lane_sharded_stage2_matches_unsharded():
         cfg, sched, params, cache, lane_sharding=lane_sh, **kw)
     np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
                                atol=2e-5)
+
+def test_unet_tp_sharding_quantized_and_packed():
+    """TP specs must cover the int8 (weight_q/w_scale) and scan-packed
+    ([depth, in, out]) layouts — a key-name miss silently replicates
+    (TP becomes a no-op) or shards the wrong axis."""
+    from omg_tpu import config as cfglib
+    from omg_tpu.models import unet as unet_lib
+    from omg_tpu.ops.quant import quantize_unet_params
+
+    cfg = cfglib.tiny_unet()
+    params = unet_lib.init_params(jax.random.PRNGKey(0), cfg)
+    m = mesh_lib.make_mesh(8, model=2)
+
+    qtree = shard_lib.unet_tp_sharding(quantize_unet_params(params), m)
+    qattn = qtree["mid_block"]["attentions"][0]["transformer_blocks"][0][
+        "attn1"]
+    assert qattn["to_q"]["weight_q"].spec == P(None, "model")
+    assert qattn["to_q"]["w_scale"].spec == P("model")
+    assert qattn["to_out"]["weight_q"].spec == P("model", None)
+    assert qattn["to_out"]["w_scale"].spec == P()
+
+    # force stacking at the tiny depth (SDXL-size trees stack at >= 4)
+    ptree = shard_lib.unet_tp_sharding(
+        unet_lib.pack_params(params, min_depth=1), m)
+    blk = ptree["mid_block"]["attentions"][0]["transformer_blocks_stacked"]
+    q_spec = blk["attn1"]["to_q"]["weight"].spec
+    o_spec = blk["attn1"]["to_out"]["weight"].spec
+    assert q_spec == P(None, None, "model"), q_spec
+    assert o_spec == P(None, "model", None), o_spec
