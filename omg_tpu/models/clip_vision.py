@@ -89,7 +89,14 @@ def apply(p: Params, cfg: CLIPVisionConfig, pixels: Array) -> CLIPVisionOutput:
     x = x.reshape(b, gh * gw, d)
     cls = jnp.broadcast_to(emb["class_embedding"], (b, 1, d))
     x = jnp.concatenate([cls, x], axis=1)
-    x = x + emb["position_embedding"]["weight"][None, : x.shape[1]]
+    pos = emb["position_embedding"]["weight"]
+    if pos.shape[0] != x.shape[1]:
+        # a prefix slice would silently apply scrambled 2D positions;
+        # callers must resize inputs to cfg.image_size (preprocess does)
+        raise ValueError(
+            f"input grid {gh}x{gw} does not match the position table "
+            f"({pos.shape[0] - 1} patches); resize to cfg.image_size")
+    x = x + pos[None]
 
     x = layers.layer_norm(vm["pre_layrnorm"], x)
     for lp in vm["encoder"]["layers"]:
@@ -111,10 +118,8 @@ def preprocess(images_uint8, size: int):
     Bilinear resize (host numpy path goes through PIL in the detector for
     torch-exact crops; this device path serves batched jitted scoring).
     """
-    import numpy as np
     x = jnp.asarray(images_uint8, jnp.float32) / 255.0
     if x.shape[1] != size or x.shape[2] != size:
         x = jax.image.resize(x, (x.shape[0], size, size, 3), "bilinear")
-    mean = jnp.asarray(np.asarray(IMAGE_MEAN), jnp.float32)
-    std = jnp.asarray(np.asarray(IMAGE_STD), jnp.float32)
-    return (x - mean) / std
+    return (x - jnp.asarray(IMAGE_MEAN, jnp.float32)) \
+        / jnp.asarray(IMAGE_STD, jnp.float32)

@@ -86,7 +86,12 @@ def sdpa(q: Array, k: Array, v: Array, *, mask: Optional[Array] = None) -> Array
                                      allow_interpret=interpret)):
                 return fa.flash_attention_sharded(
                     q, k, v, mesh=mesh, axis=axis, interpret=interpret)
-        if fa.use_flash(q.shape[2], k.shape[2], q.shape[3]):
+            # batch not divisible by the lane axis: do NOT fall through
+            # to the unsharded Pallas call — GSPMD cannot partition the
+            # custom call and would all-gather + replicate it on every
+            # chip (the round-1 silent-bypass failure mode); XLA sdpa
+            # below partitions fine
+        elif fa.use_flash(q.shape[2], k.shape[2], q.shape[3]):
             return fa.flash_attention(q, k, v)
     scale = q.shape[-1] ** -0.5
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k,
@@ -162,12 +167,19 @@ def mha(p: Params, x: Array, *, num_heads: int,
 
     no_bias = ("bias" not in p["to_q"] and "bias" not in p["to_k"]
                and "bias" not in p["to_v"])
-    quantized = "weight_q" in p["to_q"]
+    # the fused single-GEMM path requires EVERY member to share one
+    # layout: quantize_unet_params' min_dim gate can leave e.g. a small
+    # to_k/to_v unquantized next to a quantized to_q — mixed groups must
+    # take the per-projection path (layers.linear handles either layout)
+    _qkv_q = ["weight_q" in p[n] for n in ("to_q", "to_k", "to_v")]
+    fusable_qkv = all(_qkv_q) or not any(_qkv_q)
+    fusable_kv = (("weight_q" in p["to_k"]) == ("weight_q" in p["to_v"]))
 
     def fused_matmul(inp, names, splits):
         """One GEMM over the concatenated projections (bf16 or int8 —
-        per-output-channel scales concatenate exactly)."""
-        if quantized:
+        per-output-channel scales concatenate exactly). Callers only
+        fuse groups whose members share one layout."""
+        if "weight_q" in p[names[0]]:
             from omg_tpu.ops.quant import int8_matmul
             wq = jnp.concatenate([p[n]["weight_q"] for n in names], axis=1)
             ws = jnp.concatenate([p[n]["w_scale"] for n in names])
@@ -175,7 +187,7 @@ def mha(p: Params, x: Array, *, num_heads: int,
         w = jnp.concatenate([p[n]["weight"] for n in names], axis=1)
         return jnp.split(jnp.dot(inp, w), splits, axis=-1)
 
-    if no_bias and not is_cross:
+    if no_bias and not is_cross and fusable_qkv:
         # fused qkv: one [C, 3*inner] gemm (same input for q/k/v)
         q, k, v = fused_matmul(x, ("to_q", "to_k", "to_v"), 3)
         for name, ref in (("to_q", 0), ("to_k", 1), ("to_v", 2)):
@@ -187,7 +199,7 @@ def mha(p: Params, x: Array, *, num_heads: int,
                     k = k + d
                 else:
                     v = v + d
-    elif no_bias and is_cross:
+    elif no_bias and is_cross and fusable_kv:
         # fused kv over the context
         q = layers.linear(p["to_q"], x, la("to_q"))
         k, v = fused_matmul(ctx, ("to_k", "to_v"), 2)

@@ -23,12 +23,18 @@ import jax
 
 
 class Metrics:
-    """Thread-safe counters + latency records."""
+    """Thread-safe counters + latency records.
 
-    def __init__(self):
+    Timings are bounded (most-recent ``max_samples`` per metric): a
+    serving process records per-stage latency on every request, and an
+    unbounded list is a slow memory leak plus an ever-growing sort on
+    each /metrics scrape."""
+
+    def __init__(self, max_samples: int = 4096):
         self._lock = threading.Lock()
         self.counters: Dict[str, int] = collections.defaultdict(int)
-        self.timings: Dict[str, list] = collections.defaultdict(list)
+        self.timings: Dict[str, collections.deque] = collections.defaultdict(
+            lambda: collections.deque(maxlen=max_samples))
 
     def count(self, name: str, n: int = 1):
         with self._lock:
@@ -59,12 +65,17 @@ METRICS = Metrics()
 
 @contextlib.contextmanager
 def trace(name: str, metrics: Optional[Metrics] = None):
-    """Profiler annotation + wall-clock record around a block."""
+    """Profiler annotation + monotonic-clock record around a block.
+
+    Records in a finally so failing requests still contribute latency
+    samples (dropping them biases p50/p95 toward successes)."""
     m = metrics or METRICS
-    t0 = time.time()
-    with jax.profiler.TraceAnnotation(name):
-        yield
-    m.record(name, time.time() - t0)
+    t0 = time.perf_counter()
+    try:
+        with jax.profiler.TraceAnnotation(name):
+            yield
+    finally:
+        m.record(name, time.perf_counter() - t0)
 
 
 def start_server(port: int = 9999):

@@ -168,3 +168,36 @@ def test_int8_matmul_stacked_3d_path():
     want = np.einsum("bni,bio->bno", np.asarray(x), w)
     assert got.shape == (B, N, DO)
     assert np.abs(got - want).max() < 0.15 * np.abs(want).max()
+
+
+def test_mha_mixed_quantization_layouts():
+    """min_dim gating can quantize some projections of one attention and
+    not others; mha must fall back to per-projection GEMMs instead of
+    fusing mixed layouts (which crashed with KeyError)."""
+    import numpy as np
+    from omg_tpu.nn.attention import mha
+
+    rng = np.random.default_rng(0)
+    C, ctx_d, inner = 16, 8, 16
+
+    def lin(di, do):
+        return {"weight": jnp.asarray(
+            rng.standard_normal((di, do)) * 0.1, jnp.float32)}
+
+    # cross-attention with quantized q/out but plain (small) k/v
+    p = {"to_q": quant.quantize_linear(lin(C, inner)),
+         "to_k": lin(ctx_d, inner),
+         "to_v": lin(ctx_d, inner),
+         "to_out": quant.quantize_linear(lin(inner, C))}
+    x = jnp.asarray(rng.standard_normal((2, 6, C)), jnp.float32)
+    ctx = jnp.asarray(rng.standard_normal((2, 4, ctx_d)), jnp.float32)
+    out = mha(p, x, num_heads=2, context=ctx)
+    assert out.shape == (2, 6, C)
+    assert bool(jnp.isfinite(out).all())
+
+    # self-attention with only to_q quantized
+    p2 = {"to_q": quant.quantize_linear(lin(C, inner)),
+          "to_k": lin(C, inner), "to_v": lin(C, inner),
+          "to_out": lin(inner, C)}
+    out2 = mha(p2, x, num_heads=2)
+    assert bool(jnp.isfinite(out2).all())
