@@ -136,7 +136,8 @@ def _cond_embed(p: Params, cond: Array) -> Array:
 def apply(p: Params, cfg: ControlNetConfig, sample: Array, timestep: Array,
           encoder_hidden_states: Array, cond_image: Array, *,
           text_embeds: Array, time_ids: Array,
-          conditioning_scale: float | Array = 1.0
+          conditioning_scale: float | Array = 1.0,
+          guess_mode: bool = False
           ) -> tuple[Sequence[Array], Array]:
     """-> (down_block_residuals, mid_block_residual), scaled.
 
@@ -144,6 +145,10 @@ def apply(p: Params, cfg: ControlNetConfig, sample: Array, timestep: Array,
     (stride-8 reduced internally to latent resolution).
     For IdentityNet, ``encoder_hidden_states`` are the 16 image-prompt
     tokens (reference: instantid_single_pieline.py:688-697).
+    ``guess_mode``: diffusers ControlNetModel guess-mode residual ramp —
+    the shallowest residual is scaled by 0.1 rising log-linearly to 1.0
+    at the mid block (the reference passes guess_mode through to
+    diffusers, src/pipelines/lora_pipeline.py:527).
     """
     u = cfg.unet
     groups = u.norm_num_groups
@@ -175,6 +180,18 @@ def apply(p: Params, cfg: ControlNetConfig, sample: Array, timestep: Array,
     x = unet_lib._resnet(mid["resnets"][1], x, temb, groups)
 
     scale = jnp.asarray(conditioning_scale, x.dtype)
+    if guess_mode:
+        # scales = logspace(-1, 0, n_down + 1): down residual j gets
+        # 10^((j - n)/n), the mid residual gets 1.0 (diffusers
+        # ControlNetModel.forward guess-mode branch)
+        n = len(residuals)
+        ramp = jnp.logspace(-1.0, 0.0, n + 1).astype(x.dtype)
+        down_res = [layers.conv2d(zc, r, padding=0) * (scale * ramp[j])
+                    for j, (zc, r) in enumerate(
+                        zip(p["controlnet_down_blocks"], residuals))]
+        mid_res = (layers.conv2d(p["controlnet_mid_block"], x, padding=0)
+                   * (scale * ramp[n]))
+        return down_res, mid_res
     down_res = [layers.conv2d(zc, r, padding=0) * scale
                 for zc, r in zip(p["controlnet_down_blocks"], residuals)]
     mid_res = layers.conv2d(p["controlnet_mid_block"], x, padding=0) * scale

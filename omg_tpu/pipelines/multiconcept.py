@@ -53,31 +53,103 @@ class ControlNetInputs(NamedTuple):
         face-keypoint image with the 16 image-prompt tokens as
         encoder_hidden_states (reference: src/pipelines/
         instantid_pipeline.py:638-648).
+
+    ``guidance_start``/``guidance_end``: the reference's
+    ``control_guidance_start/end`` window — at step i of S the residuals
+    are kept only when ``i/S >= start`` and ``(i+1)/S <= end``
+    (``controlnet_keep``, reference :421-427 + :511-517). Traced scalars,
+    so changing the window does not recompile.
+    ``guess_mode``: residuals are inferred from the conditional batch
+    half only (uncond rows get zeros) with diffusers' log-linear depth
+    ramp (reference :497-505,530-537). Static: toggling it changes the
+    program structure.
     """
     params: dict
     cond_image: Array                      # [B or 1, H, W, C]
     scale: Array                           # scalar conditioning strength
     encoder_hidden_states: Optional[Array] = None
+    guidance_start: Array | float = 0.0
+    guidance_end: Array | float = 1.0
+    guess_mode: bool = False
+
+
+def _cn_flatten(cn: "ControlNetInputs"):
+    children = (cn.params, cn.cond_image, cn.scale,
+                cn.encoder_hidden_states, cn.guidance_start,
+                cn.guidance_end)
+    return children, (cn.guess_mode,)
+
+
+def _cn_unflatten(aux, children):
+    return ControlNetInputs(*children, guess_mode=aux[0])
+
+
+# guess_mode selects program structure (cond-rows-only ControlNet run +
+# residual ramp) — keep it static aux data, not a traced leaf.
+jax.tree_util.register_pytree_node(ControlNetInputs, _cn_flatten,
+                                   _cn_unflatten)
+
+
+def _cn_keep(cn: ControlNetInputs, step_i: Array, num_steps: int) -> Array:
+    """The reference's per-step ``controlnet_keep`` gate as a traced
+    scalar: 1.0 inside the [guidance_start, guidance_end] window, else
+    0.0 (reference: lora_pipeline.py:423-425)."""
+    f0 = step_i.astype(jnp.float32) / num_steps
+    f1 = (step_i.astype(jnp.float32) + 1.0) / num_steps
+    drop = jnp.logical_or(f0 < cn.guidance_start, f1 > cn.guidance_end)
+    return 1.0 - drop.astype(jnp.float32)
 
 
 def _controlnet_residuals(cns: tuple, cn_cfg, lin: Array, t: Array,
                           prompt_embeds: Array, text_embeds: Array,
-                          time_ids: Array):
+                          time_ids: Array, *, step_i: Array = None,
+                          num_steps: int = 0, cond_rows: tuple = ()):
     """Run each ControlNet and sum the residual stacks (diffusers
-    MultiControlNet semantics)."""
+    MultiControlNet semantics).
+
+    ``step_i``/``num_steps``: enable the guidance-window gate.
+    ``cond_rows``: static indices of ``lin``'s conditional CFG rows —
+    guess-mode ControlNets run only those rows and zero-pad the rest
+    (reference: lora_pipeline.py:497-505,530-537).
+    """
     down_acc = mid_acc = None
     for cn in cns:
         b = lin.shape[0]
-        cond = jnp.broadcast_to(cn.cond_image,
-                                (b,) + cn.cond_image.shape[1:])
-        ehs = (cn.encoder_hidden_states
-               if cn.encoder_hidden_states is not None else prompt_embeds)
-        if ehs.shape[0] != b:
-            ehs = jnp.broadcast_to(ehs, (b,) + ehs.shape[1:])
-        down, mid = controlnet_lib.apply(
-            cn.params, cn_cfg, lin, t, ehs, cond,
-            text_embeds=text_embeds, time_ids=time_ids,
-            conditioning_scale=cn.scale)
+        scale = jnp.asarray(cn.scale, jnp.float32)
+        if step_i is not None and num_steps:
+            scale = scale * _cn_keep(cn, step_i, num_steps)
+        if cn.guess_mode and cond_rows:
+            rows = jnp.asarray(cond_rows)
+            lin_g = lin[rows]
+            ehs = (cn.encoder_hidden_states
+                   if cn.encoder_hidden_states is not None
+                   else prompt_embeds[rows])
+            if ehs.shape[0] != len(cond_rows):
+                ehs = jnp.broadcast_to(ehs,
+                                       (len(cond_rows),) + ehs.shape[1:])
+            cond = jnp.broadcast_to(
+                cn.cond_image, (len(cond_rows),) + cn.cond_image.shape[1:])
+            down, mid = controlnet_lib.apply(
+                cn.params, cn_cfg, lin_g, t, ehs, cond,
+                text_embeds=text_embeds[rows], time_ids=time_ids[rows],
+                conditioning_scale=scale, guess_mode=True)
+            # uncond rows get zero residuals (the reference concatenates
+            # zeros_like for the uncond half)
+            down = [jnp.zeros((b,) + r.shape[1:], r.dtype).at[rows].set(r)
+                    for r in down]
+            mid = jnp.zeros((b,) + mid.shape[1:], mid.dtype).at[rows].set(mid)
+        else:
+            cond = jnp.broadcast_to(cn.cond_image,
+                                    (b,) + cn.cond_image.shape[1:])
+            ehs = (cn.encoder_hidden_states
+                   if cn.encoder_hidden_states is not None
+                   else prompt_embeds)
+            if ehs.shape[0] != b:
+                ehs = jnp.broadcast_to(ehs, (b,) + ehs.shape[1:])
+            down, mid = controlnet_lib.apply(
+                cn.params, cn_cfg, lin, t, ehs, cond,
+                text_embeds=text_embeds, time_ids=time_ids,
+                conditioning_scale=scale)
         if down_acc is None:
             down_acc, mid_acc = list(down), mid
         else:
@@ -87,7 +159,8 @@ def _controlnet_residuals(cns: tuple, cn_cfg, lin: Array, t: Array,
 
 
 def _concept_cn_residuals(concept_controlnets, concept_inputs, rl: Array,
-                          t: Array, tembeds: Array, tids: Array, cn_cfg):
+                          t: Array, tembeds: Array, tids: Array, cn_cfg,
+                          step_i: Array = None, num_steps: int = 0):
     """ControlNet residuals covering ALL 2K concept lanes (or (None, None)).
 
     Handles the heterogeneity the reference never batches (it runs one
@@ -116,6 +189,10 @@ def _concept_cn_residuals(concept_controlnets, concept_inputs, rl: Array,
             "live concept ControlNets must consistently provide "
             "encoder_hidden_states (IdentityNet image-prompt tokens) or "
             "consistently omit them")
+    if any(cn.guess_mode != template.guess_mode for cn in live):
+        raise ValueError(
+            "live concept ControlNets must agree on guess_mode (the "
+            "merged forward runs one program over all lanes)")
 
     conds, ehs_rows, scales = [], [], []
     for k in range(K):
@@ -141,13 +218,25 @@ def _concept_cn_residuals(concept_controlnets, concept_inputs, rl: Array,
             # convention the base path honors) — each concept owns a
             # 2-row (uncond, cond) lane pair
             ehs_rows.append(jnp.broadcast_to(ehs, (2,) + ehs.shape[1:]))
-            scales.append(jnp.asarray(cn.scale, jnp.float32))
+            sc = jnp.asarray(cn.scale, jnp.float32)
+            if step_i is not None and num_steps:
+                # per-concept guidance window (reference controlnet_keep)
+                sc = sc * _cn_keep(cn, step_i, num_steps)
+            scales.append(sc)
     # per-lane scale: each concept's (uncond, cond) pair shares its scale
     scale_lanes = jnp.repeat(jnp.stack(scales), 2)[:, None, None, None]
+    if template.guess_mode:
+        # guess mode: residuals only on the conditional rows (lane
+        # layout is (uncond, cond) pairs -> odd rows). The merged
+        # forward still computes every lane; zeroing the uncond rows'
+        # scale reproduces the reference's zero-padded uncond residuals
+        # exactly (the scale multiplies the zero-conv outputs).
+        row_mask = jnp.tile(jnp.asarray([0.0, 1.0], jnp.float32), K)
+        scale_lanes = scale_lanes * row_mask[:, None, None, None]
     return controlnet_lib.apply(
         template.params, cn_cfg, rl, t, jnp.concatenate(ehs_rows),
         jnp.concatenate(conds), text_embeds=tembeds, time_ids=tids,
-        conditioning_scale=scale_lanes)
+        conditioning_scale=scale_lanes, guess_mode=template.guess_mode)
 
 
 def _concept_lane_conditioning(concept_inputs, concept_loras,
@@ -302,7 +391,8 @@ def multiconcept_step(
     if base_controlnets:
         down_res, mid_res = _controlnet_residuals(
             base_controlnets, cn_cfg, lin, t, base_inputs.prompt_embeds,
-            base_inputs.text_embeds, base_inputs.time_ids)
+            base_inputs.text_embeds, base_inputs.time_ids,
+            step_i=i, num_steps=sched.num_steps, cond_rows=(2, 3))
 
     eps = unet.apply(
         unet_params, cfg.unet, lin, t, base_inputs.prompt_embeds,
@@ -333,7 +423,8 @@ def multiconcept_step(
             if concept_controlnets:
                 k_down, k_mid = _concept_cn_residuals(
                     concept_controlnets, concept_inputs, rl2, t,
-                    tembeds, tids, cn_cfg)
+                    tembeds, tids, cn_cfg, step_i=i,
+                    num_steps=sched.num_steps)
 
             out = unet.apply(
                 unet_params, cfg.unet, rl2, t, embeds,
@@ -459,7 +550,8 @@ def _denoise_cfg_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         down_res = mid_res = None
         if base_controlnets:
             down_res, mid_res = _controlnet_residuals(
-                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2)
+                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2,
+                step_i=i, num_steps=sched.num_steps, cond_rows=(1,))
         eps = unet.apply(unet_params, cfg.unet, lin, t, embeds2,
                          text_embeds=tembeds2, time_ids=tids2,
                          down_block_residuals=down_res,
@@ -497,7 +589,8 @@ def _denoise_cfg_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         down_res = mid_res = None
         if base_controlnets:
             down_res, mid_res = _controlnet_residuals(
-                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2)
+                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2,
+                step_i=i, num_steps=sched.num_steps, cond_rows=(1,))
         eps = unet.apply(unet_params, cfg.unet, lin, t, embeds2,
                          text_embeds=tembeds2, time_ids=tids2,
                          down_block_residuals=down_res,
@@ -574,14 +667,18 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                                    for c in concept_controlnets):
             b_down = b_mid = None
             if base_controlnets:
+                # 3-row layout [cond_A, uncond_B, cond_B]: rows 0 and 2
+                # are the conditional CFG rows
                 b_down, b_mid = _controlnet_residuals(
                     base_controlnets, cn_cfg, lanes[:3], t, embeds[:3],
-                    tembeds[:3], tids[:3])
+                    tembeds[:3], tids[:3], step_i=i,
+                    num_steps=sched.num_steps, cond_rows=(0, 2))
             c_down = c_mid = None
             if any(cn is not None for cn in concept_controlnets):
                 c_down, c_mid = _concept_cn_residuals(
                     concept_controlnets, concept_inputs, lanes[3:], t,
-                    tembeds[3:], tids[3:], cn_cfg)
+                    tembeds[3:], tids[3:], cn_cfg, step_i=i,
+                    num_steps=sched.num_steps)
             if b_down is None and c_down is not None:
                 b_down = [jnp.zeros((3,) + r.shape[1:], r.dtype)
                           for r in c_down]
@@ -729,12 +826,14 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                 b_down, b_mid = _controlnet_residuals(
                     base_controlnets, cn_cfg, lin4, t,
                     base_inputs.prompt_embeds, base_inputs.text_embeds,
-                    base_inputs.time_ids)
+                    base_inputs.time_ids, step_i=i,
+                    num_steps=sched.num_steps, cond_rows=(2, 3))
             c_down = c_mid = None
             if any(cn is not None for cn in concept_controlnets):
                 c_down, c_mid = _concept_cn_residuals(
                     concept_controlnets, concept_inputs, lanes[4:], t,
-                    tembeds[4:], tids[4:], cn_cfg)
+                    tembeds[4:], tids[4:], cn_cfg, step_i=i,
+                    num_steps=sched.num_steps)
             # pad each side's residuals with zeros for the other's lanes
             if b_down is None and c_down is not None:
                 b_down = [jnp.zeros((4,) + r.shape[1:], r.dtype)

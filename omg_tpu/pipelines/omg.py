@@ -83,6 +83,17 @@ class OMG:
     # exact program per-request when ControlNets are in play; the
     # vmapped generate_batch path always runs exact.
     concept_crop: bool = False
+    # Multi-chip LATENCY layout (the v5e-8 < 5 s mode, PARITY.md §6): a
+    # jax.sharding.Mesh with axes (data, model). generate() then runs
+    # stage 1 as (lane x tensor) = (data x model) — CFG lanes over the
+    # data axis, Megatron TP inside each UNet over the model axis
+    # (parallel/sharding.py) — and stage 2 lane-parallel: the 4+2K lane
+    # batch sharded one-lane-per-chip over a flat mesh, with the Pallas
+    # flash kernel under shard_map (multiconcept._denoise_mc_range).
+    # This is the engine-level successor of the reference's cross-device
+    # base/concept placement (lora_pipeline.py:583,601,605). None =
+    # single chip. Build with parallel.mesh.make_mesh(8, data=2).
+    mesh: Optional[object] = None
 
     def __post_init__(self):
         if self.quantize == "int8":
@@ -91,6 +102,39 @@ class OMG:
                 unet=quantize_unet_params(self.params.unet))
         elif self.quantize:
             raise ValueError(f"unknown quantize mode {self.quantize!r}")
+        if self.mesh is not None and self.concept_crop:
+            raise ValueError(
+                "concept_crop and mesh are mutually exclusive (the "
+                "strip program is single-chip; the lane-parallel mode "
+                "keeps the power-of-two 4+2K layout)")
+
+    # --------------------------------------------------- mesh placements
+
+    def _mesh_placements(self):
+        """Lazy per-engine placements for the latency layout:
+        (tp_params, rep_params, lane_sharding). The TP copy serves
+        stage 1 (each model-axis group holds a weight shard); the
+        replicated copy serves the lane-parallel stage 2 (every chip
+        runs whole-UNet lanes). Both stay resident — bf16 SDXL weights
+        shard+replica fit a v5e's 16 GB beside the activations."""
+        if getattr(self, "_placements", None) is not None:
+            return self._placements
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from omg_tpu.parallel import mesh as mesh_lib
+        from omg_tpu.parallel import sharding as shard_lib
+
+        devices = self.mesh.devices.reshape(-1)
+        tp_tree = shard_lib.unet_tp_sharding(self.params.unet, self.mesh)
+        tp_params = shard_lib.shard_params(self.params.unet, tp_tree)
+        flat = mesh_lib.make_mesh(len(devices), data=len(devices),
+                                  model=1, devices=list(devices))
+        rep = NamedSharding(flat, P())
+        rep_params = jax.tree.map(
+            lambda x: jax.device_put(x, rep), self.params.unet)
+        lane_sharding = NamedSharding(flat, P(mesh_lib.DATA_AXIS))
+        self._placements = (tp_params, rep_params, lane_sharding)
+        return self._placements
 
     # ---------------------------------------------------------------- text
 
@@ -129,6 +173,9 @@ class OMG:
                  spatial_condition: Optional[np.ndarray] = None,
                  controlnet_params: Optional[dict] = None,
                  controlnet_scale: float = 1.0,
+                 control_guidance_start: float = 0.0,
+                 control_guidance_end: float = 1.0,
+                 controlnet_guess_mode: bool = False,
                  instantid: Optional[InstantIDModels] = None,
                  face_embeddings: Sequence[Optional[np.ndarray]] = (),
                  face_kps_image: Optional[np.ndarray] = None,
@@ -213,11 +260,18 @@ class OMG:
 
         base_cns = []
         if spatial_condition is not None and controlnet_params is not None:
+            # guidance window + guess mode mirror the reference pipeline
+            # arguments (control_guidance_start/end + guess_mode,
+            # lora_pipeline.py:421-427,497-505)
             base_cns.append(multiconcept.ControlNetInputs(
                 params=controlnet_params,
                 cond_image=jnp.asarray(spatial_condition, jnp.float32)[None]
                 / 255.0,
-                scale=jnp.asarray(controlnet_scale)))
+                scale=jnp.asarray(controlnet_scale),
+                guidance_start=jnp.asarray(control_guidance_start,
+                                           jnp.float32),
+                guidance_end=jnp.asarray(control_guidance_end, jnp.float32),
+                guess_mode=bool(controlnet_guess_mode)))
 
         controller = p2p.P2PControl.build(
             [prompt, prompt], steps, cross_replace_steps=1.0,
@@ -225,8 +279,16 @@ class OMG:
             tokenizer=self.tokenizer)
 
         # --- stage 1 (dedup fast path; see multiconcept.py) ------------
+        stage1_params = stage2_params = self.params.unet
+        lane_sharding = None
+        if self.mesh is not None:
+            # latency layout: TP-sharded weights drive GSPMD through the
+            # stage-1 jits (committed-argument shardings); stage 2 runs
+            # the lane-parallel 4+2K program on the replicated copy
+            stage1_params, stage2_params, lane_sharding = \
+                self._mesh_placements()
         lat1, cache = multiconcept.sample_stage1_cached(
-            self.cfg, sched, self.params.unet, key=key, height=height,
+            self.cfg, sched, stage1_params, key=key, height=height,
             width=width, base_inputs=base_inputs,
             fusion_start=fusion_start,
             base_controlnets=base_cns, cn_cfg=self.cn_cfg,
@@ -269,7 +331,7 @@ class OMG:
             mask_stack = regions_lib.make_concept_mask_stack(
                 masks, (height // 8, width // 8), len(region_specs))
             lat2 = multiconcept.sample_stage2_resumed(
-                self.cfg, sched, self.params.unet, cache,
+                self.cfg, sched, stage2_params, cache,
                 base_inputs=base_inputs, controller=controller,
                 concept_inputs=concept_inputs, concept_loras=loras_final,
                 masks=mask_stack, fusion_start=fusion_start,
@@ -278,7 +340,10 @@ class OMG:
                           if instantid is not None else 1.0),
                 base_controlnets=base_cns, concept_controlnets=concept_cns,
                 cn_cfg=self.cn_cfg,
+                lane_sharding=(lane_sharding
+                               if len(region_specs) > 0 else None),
                 concept_crop=(self.concept_crop
+                              and self.mesh is None
                               and len(region_specs) > 0
                               and not base_cns
                               and not any(c is not None
@@ -357,7 +422,9 @@ class OMG:
         unsupported = ("instantid", "face_embeddings", "face_kps_image",
                        "face_kps_provider",
                        "spatial_condition", "controlnet_params", "masks")
-        if len(requests) == 1 or any(
+        # a mesh engine is the LATENCY layout: all chips serve one
+        # request at a time, so requests run serially through generate()
+        if len(requests) == 1 or self.mesh is not None or any(
                 r.get(k) for r in requests for k in unsupported):
             return serial(requests)
         steps = requests[0].get("num_steps") or self.num_steps

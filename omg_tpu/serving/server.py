@@ -415,7 +415,14 @@ class OMGServer:
             job["_condition_rendered"] = cond
             cn_kwargs = dict(
                 spatial_condition=cond, controlnet_params=cn,
-                controlnet_scale=float(job.get("controlnet_scale", 1.0)))
+                controlnet_scale=float(job.get("controlnet_scale", 1.0)),
+                # reference pipeline args (lora_pipeline.py:421-427):
+                # per-step guidance window + guess mode
+                control_guidance_start=float(
+                    job.get("control_guidance_start", 0.0)),
+                control_guidance_end=float(
+                    job.get("control_guidance_end", 1.0)),
+                controlnet_guess_mode=bool(job.get("guess_mode", False)))
 
         return dict(
             prompt=job["prompt"],
