@@ -77,18 +77,27 @@ def make_schedule(kind: str, num_steps: int, *,
                   num_train_timesteps: int = 1000,
                   timestep_spacing: str = "leading",
                   steps_offset: int = 1,
-                  lcm_origin_steps: int = 50) -> Schedule:
+                  lcm_origin_steps: int = 50,
+                  dtype=jnp.float32) -> Schedule:
+    """``dtype``: precision of the schedule constants — fp64 (under
+    jax x64) for the torch-parity tests; fp32 in production."""
     betas = betas_scaled_linear(num_train_timesteps)
     alphas_cumprod = np.cumprod(1.0 - betas)
 
     if _KINDS[kind] == LCM:
-        # LCM consistency sampling (LCM-LoRA few-step mode): pick
-        # num_steps evenly from the distillation's origin grid of
-        # lcm_origin_steps timesteps.
+        # LCM consistency sampling (LCM-LoRA few-step mode): diffusers
+        # LCMScheduler.set_timesteps' skipping-step selection from the
+        # distillation's origin grid — timesteps[j] counts back from the
+        # last origin step by len(origin)//num_steps (torch-parity-tested
+        # in tests/test_scheduler_torch_parity.py).
         k = num_train_timesteps // lcm_origin_steps
-        origin = (np.arange(1, lcm_origin_steps + 1) * k - 1)[::-1]
-        idx = np.linspace(0, len(origin) - 1, num_steps).round().astype(int)
-        timesteps = origin[idx].astype(np.float64)
+        origin = np.arange(1, lcm_origin_steps + 1) * k - 1
+        skip = len(origin) // num_steps
+        if skip < 1:
+            raise ValueError(
+                f"LCM num_steps {num_steps} exceeds the origin grid "
+                f"({lcm_origin_steps} steps)")
+        timesteps = origin[::-skip][:num_steps].astype(np.float64)
     elif timestep_spacing == "leading":
         ratio = num_train_timesteps // num_steps
         timesteps = (np.arange(num_steps) * ratio + steps_offset)[::-1].copy()
@@ -120,9 +129,9 @@ def make_schedule(kind: str, num_steps: int, *,
     return Schedule(
         kind=kind_i,
         timesteps=jnp.asarray(timesteps.astype(np.int32)),
-        sigmas=jnp.asarray(sigmas, jnp.float32),
-        alphas_cumprod=jnp.asarray(alphas_cumprod, jnp.float32),
-        init_noise_sigma=jnp.asarray(init_noise_sigma, jnp.float32),
+        sigmas=jnp.asarray(sigmas, dtype),
+        alphas_cumprod=jnp.asarray(alphas_cumprod, dtype),
+        init_noise_sigma=jnp.asarray(init_noise_sigma, dtype),
         num_steps=num_steps,
     )
 
@@ -154,11 +163,18 @@ def scale_initial_noise(sched: Schedule, noise: Array) -> Array:
     return noise
 
 
+def _compute_dtype(x: Array):
+    """fp32 accumulation for bf16/fp32 samples (production), fp64 when
+    the sample is fp64 (the torch-parity tests run under jax x64)."""
+    return jnp.promote_types(x.dtype, jnp.float32)
+
+
 def _euler_step(sched: Schedule, eps: Array, i: Array, x: Array) -> Array:
     # x lives in "expanded" sigma-space: x = x0 + sigma * noise.
+    cdt = _compute_dtype(x)
     sigma, sigma_next = sched.sigmas[i], sched.sigmas[i + 1]
-    return (x.astype(jnp.float32)
-            + eps.astype(jnp.float32) * (sigma_next - sigma)).astype(x.dtype)
+    return (x.astype(cdt)
+            + eps.astype(cdt) * (sigma_next - sigma).astype(cdt)).astype(x.dtype)
 
 
 def _ddim_step(sched: Schedule, eps: Array, i: Array, x: Array) -> Array:
@@ -169,7 +185,9 @@ def _ddim_step(sched: Schedule, eps: Array, i: Array, x: Array) -> Array:
     ratio = sched.alphas_cumprod.shape[0] // sched.num_steps
     prev_t = t - ratio
     a_prev = jnp.where(prev_t >= 0, sched.alphas_cumprod[jnp.maximum(prev_t, 0)], 1.0)
-    xf, ef = x.astype(jnp.float32), eps.astype(jnp.float32)
+    cdt = _compute_dtype(x)
+    xf, ef = x.astype(cdt), eps.astype(cdt)
+    a_t, a_prev = a_t.astype(cdt), a_prev.astype(cdt)
     x0 = (xf - jnp.sqrt(1 - a_t) * ef) / jnp.sqrt(a_t)
     out = jnp.sqrt(a_prev) * x0 + jnp.sqrt(1 - a_prev) * ef
     return out.astype(x.dtype)
@@ -182,10 +200,11 @@ def _dpmpp_2m_step(sched: Schedule, state: SchedulerState, eps: Array,
     lambda = -log(sigma_hat) with sigma_hat = sigma/alpha; here we use the
     karras convention x = x0 + sigma*eps (alpha=1), so lambda = -log(sigma).
     """
-    sigmas = sched.sigmas
+    cdt = _compute_dtype(x)
+    sigmas = sched.sigmas.astype(cdt)
     sigma, sigma_next = sigmas[i], sigmas[i + 1]
     sigma_prev = sigmas[jnp.maximum(i - 1, 0)]
-    xf, ef = x.astype(jnp.float32), eps.astype(jnp.float32)
+    xf, ef = x.astype(cdt), eps.astype(cdt)
     x0 = xf - sigma * ef
 
     def lam(s):
@@ -229,15 +248,16 @@ def _lcm_step(sched: Schedule, state: SchedulerState, eps: Array,
     """
     t = sched.timesteps[i]
     t_next = sched.timesteps[jnp.minimum(i + 1, sched.num_steps - 1)]
-    a_t = sched.alphas_cumprod[t]
-    a_next = sched.alphas_cumprod[t_next]
-    xf, ef = x.astype(jnp.float32), eps.astype(jnp.float32)
+    cdt = _compute_dtype(x)
+    a_t = sched.alphas_cumprod[t].astype(cdt)
+    a_next = sched.alphas_cumprod[t_next].astype(cdt)
+    xf, ef = x.astype(cdt), eps.astype(cdt)
 
     x0 = (xf - jnp.sqrt(1.0 - a_t) * ef) / jnp.sqrt(a_t)
     # scaled_timestep = t * timestep_scaling (x10), per published LCM /
     # diffusers LCMScheduler. c_skip is then ~sigma_data^2/t'^2 — tiny at
     # small t — so the final step returns essentially pure x0.
-    scaled = t.astype(jnp.float32) * 10.0
+    scaled = t.astype(cdt) * 10.0
     sigma_data2 = 0.5 ** 2
     c_skip = sigma_data2 / (scaled ** 2 + sigma_data2)
     c_out = scaled / jnp.sqrt(scaled ** 2 + sigma_data2)
@@ -246,7 +266,7 @@ def _lcm_step(sched: Schedule, state: SchedulerState, eps: Array,
     shape = ((1,) + x.shape[1:]) if shared_batch_noise else x.shape
     noise = jnp.broadcast_to(
         jax.random.normal(jax.random.fold_in(state.key, i), shape,
-                          jnp.float32), x.shape)
+                          cdt), x.shape)
     renoised = jnp.sqrt(a_next) * denoised + jnp.sqrt(1.0 - a_next) * noise
     last = i == sched.num_steps - 1
     out = jnp.where(last, denoised, renoised)
@@ -282,6 +302,7 @@ def add_noise(sched: Schedule, x0: Array, noise: Array, i: Array) -> Array:
     if sched.kind == EULER or sched.kind == DPMPP_2M:
         return x0 + sched.sigmas[i].astype(x0.dtype) * noise
     t = sched.timesteps[i]
-    a = sched.alphas_cumprod[t]
-    return (jnp.sqrt(a) * x0.astype(jnp.float32)
-            + jnp.sqrt(1 - a) * noise.astype(jnp.float32)).astype(x0.dtype)
+    cdt = _compute_dtype(x0)
+    a = sched.alphas_cumprod[t].astype(cdt)
+    return (jnp.sqrt(a) * x0.astype(cdt)
+            + jnp.sqrt(1 - a) * noise.astype(cdt)).astype(x0.dtype)
