@@ -38,6 +38,30 @@ def test_harness_skips_cleanly_without_checkpoints(tmp_path):
     assert "SKIP" in out.stdout
 
 
+def test_self_check_runs_full_compare_path(tmp_path):
+    """--self_check executes the harness BODY in CI (VERDICT round-2
+    item 7): torch-noise import -> two tiny-config generations ->
+    psnr/ssim/lpips -> report writing. The two runs must agree
+    bit-exactly; crop drift (when the geometry supports strips) must be
+    a real number."""
+    import json
+
+    from tools.fidelity_harness import run_self_check
+
+    out = tmp_path / "self_report.json"
+    report = run_self_check(str(out))
+    assert report["self_exact_equal"] is True
+    assert report["psnr"] == 99.0
+    assert abs(report["ssim"] - 1.0) < 1e-9
+    assert report["stage2_latent_mae"] == 0.0
+    # report file written through the same path the real harness uses
+    on_disk = json.loads(out.read_text())
+    assert on_disk["mode"] == "self_check"
+    if "crop_psnr" in report:
+        assert np.isfinite(report["crop_psnr"])
+        assert report["crop_stage2_latent_mae"] >= 0.0
+
+
 def test_engine_initial_noise_override():
     """generate(initial_noise=...) must reproduce exactly the run whose
     PRNG draw equals that noise — the harness's parity mechanism."""

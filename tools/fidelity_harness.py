@@ -143,15 +143,89 @@ def run_reference(args, device: str = "cpu"):
     return image
 
 
+def run_self_check(out_path: str = "") -> dict:
+    """``--self_check``: execute the FULL compare/report path with no
+    checkpoints (VERDICT round-2 item 7 — round 2 found real bugs in the
+    harness body that the skip-only CI never executed).
+
+    A tiny-config engine with random weights generates twice from the
+    same torch-imported initial noise (torch_initial_latents — the exact
+    noise-import path the real harness uses) and the two runs are pushed
+    through psnr/ssim/lpips_distance and the report writer. The runs
+    must agree bit-exactly; a third run in the approximate concept_crop
+    mode (when the tiny geometry supports strips) reports real drift
+    numbers through the same code.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from omg_tpu.pipelines import multiconcept, omg as omg_lib, sdxl
+    from omg_tpu.text.tokenizer import ToyTokenizer
+
+    H = W = 32
+    cfg = sdxl.tiny_config()
+    params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+
+    def provider(image, cls):
+        m = np.zeros(image.shape[:2], np.float32)
+        if cls == "man":
+            m[:, : image.shape[1] // 2] = 1.0
+        else:
+            m[:, image.shape[1] // 2:] = 1.0
+        return m
+
+    def build(concept_crop=False):
+        return omg_lib.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                           tokenizer_2=ToyTokenizer(),
+                           mask_provider=provider, num_steps=4,
+                           concept_crop=concept_crop)
+
+    noise = torch_initial_latents(14, 1, H, W)
+    kwargs = dict(
+        negative_prompt="ugly",
+        prompt_rewrite="[the chris man]-*-[ugly]|[the taylor woman]-*-[ugly]",
+        seed=14, height=H, width=W, initial_noise=jnp.asarray(noise))
+    prompt = "photo of the man and woman"
+
+    a = build().generate(prompt, **kwargs)
+    b = build().generate(prompt, **kwargs)
+
+    report = {"mode": "self_check", "steps": 4, "height": H, "width": W}
+    report["stage2_latent_mae"] = 0.0 if a.stage2 is None else float(
+        np.abs(a.stage2.astype(np.float64)
+               - b.stage2.astype(np.float64)).mean())
+    report["psnr"] = psnr(a.image, b.image)
+    report["ssim"] = ssim(a.image, b.image)
+    lp = lpips_distance(a.image, b.image)
+    report["lpips"] = lp   # None without the lpips package — reported as such
+    report["self_exact_equal"] = bool((a.image == b.image).all())
+
+    if multiconcept.crop_strips_ok(cfg, W // 8, 2):
+        c = build(concept_crop=True).generate(prompt, **kwargs)
+        report["crop_psnr"] = psnr(a.image, c.image)
+        report["crop_ssim"] = ssim(a.image, c.image)
+        report["crop_stage2_latent_mae"] = float(
+            np.abs(np.asarray(a.stage2, np.float64)
+                   - np.asarray(c.stage2, np.float64)).mean())
+    else:
+        report["crop"] = "skipped (tiny geometry has no UNet-safe strips)"
+
+    if out_path:
+        with open(out_path, "w") as f:
+            json.dump(report, f, indent=2)
+    print(json.dumps(report, indent=2))
+    return report
+
+
 def main():
     p = argparse.ArgumentParser("omg fidelity harness")
-    p.add_argument("--pretrained_sdxl_model", required=True)
+    p.add_argument("--pretrained_sdxl_model", default="")
     p.add_argument("--reference_repo", default="/root/reference")
     p.add_argument("--lora_path", default="")
     p.add_argument("--efficientViT_checkpoint", default="")
     p.add_argument("--clip_checkpoint", default="")
     p.add_argument("--segment_type", default="sam")
-    p.add_argument("--prompt", required=True)
+    p.add_argument("--prompt", default="")
     p.add_argument("--negative_prompt", default="noisy, blurry, ugly")
     p.add_argument("--prompt_rewrite", default="")
     p.add_argument("--seed", type=int, default=14)
@@ -166,7 +240,18 @@ def main():
                    help="measure the approximate int8 serving mode's "
                         "LPIPS against the torch reference")
     p.add_argument("--out", default="fidelity_report.json")
+    p.add_argument("--self_check", action="store_true",
+                   help="run the harness against itself on a tiny random-"
+                        "weight config (no checkpoints): executes the "
+                        "full noise-import/compare/report path in CI")
     args = p.parse_args()
+
+    if args.self_check:
+        report = run_self_check(args.out)
+        return 0 if report.get("self_exact_equal") else 1
+    if not args.pretrained_sdxl_model or not args.prompt:
+        p.error("--pretrained_sdxl_model and --prompt are required "
+                "(or use --self_check)")
 
     if not os.path.isdir(args.pretrained_sdxl_model):
         print(f"SKIP: no checkpoint at {args.pretrained_sdxl_model} "
