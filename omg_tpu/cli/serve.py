@@ -50,6 +50,11 @@ def main():
                    help="approximate mode: stage-2 concept lanes on "
                         "vertical strips (~26%% faster e2e; falls back "
                         "to exact per-request when ControlNets are on)")
+    p.add_argument("--mesh", default=0, type=int, metavar="N",
+                   help="multi-chip LATENCY mode over N chips (the "
+                        "v5e-8 layout): stage 1 tensor-parallel as "
+                        "(2 x N/2), stage 2 one lane per chip. 0 = "
+                        "single chip. Requires N visible devices.")
     args = p.parse_args()
 
     from omg_tpu import loader
@@ -61,11 +66,22 @@ def main():
     cfg, params, tok1, tok2 = loader.load_sdxl(args.pretrained_sdxl_model)
     provider = build_mask_provider(
         args.segment_type, sam_checkpoint=args.efficientViT_checkpoint)
+    mesh = None
+    if args.mesh:
+        import jax
+        from omg_tpu.parallel import mesh as mesh_lib
+        n = args.mesh
+        if len(jax.devices()) < n:
+            raise SystemExit(
+                f"--mesh {n} needs {n} devices; only "
+                f"{len(jax.devices())} visible")
+        # the latency layout: stage-1 TP groups of N/2 x 2 CFG lanes
+        mesh = mesh_lib.make_mesh(n, data=2 if n % 2 == 0 else 1)
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
                          num_steps=args.num_steps, quantize=args.quantize,
                          scheduler=args.scheduler,
-                         concept_crop=args.concept_crop)
+                         concept_crop=args.concept_crop, mesh=mesh)
     registry = (Registry.from_json(args.registry) if args.registry
                 else default_registry())
 
@@ -92,7 +108,17 @@ def main():
         if path:
             cn_cfg, cn_params = loader.load_controlnet(path)
             controlnets[kind] = cn_params
-            engine.cn_cfg = engine.cn_cfg or cn_cfg
+            # one ControlNetConfig serves every kind (the engine threads
+            # a single cn_cfg through the jitted programs) — a mixed zoo
+            # with differing geometries would silently run against the
+            # wrong config, so refuse it up front (ADVICE round 2)
+            if engine.cn_cfg is not None and engine.cn_cfg != cn_cfg:
+                raise ValueError(
+                    f"ControlNet {kind!r} at {path} has a different "
+                    f"geometry than the previously loaded ControlNets/"
+                    f"IdentityNet; all loaded ControlNets must share one "
+                    f"config (got {cn_cfg} vs {engine.cn_cfg})")
+            engine.cn_cfg = cn_cfg
     pose_provider = None
     if args.pose_detector_checkpoint:
         from omg_tpu.models import openpose
@@ -118,6 +144,8 @@ def main():
             scheduler=args.scheduler,
             sample_lora=(sample.get("unet", sample)
                          if isinstance(sample, dict) else None),
+            sample_ip_adapter=(iid.ip_adapter_layers
+                               if iid is not None else None),
             vae_params=engine.params.vae)
     server.serve(args.host, args.port)
 

@@ -41,6 +41,9 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
            scheduler: str = "euler",
            fusion_fraction: float = 0.3,
            sample_lora: Optional[dict] = None,
+           sample_ip_adapter: Optional[list] = None,
+           ip_tokens: int = 16,
+           ip_scale: float = 0.8,
            vae_params=None,
            log=print) -> int:
     """AOT-compile the serving programs for each (bucket, K).
@@ -50,8 +53,16 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
     ``sample_lora``: a representative concept-LoRA tree (e.g. from the
     registry cache); LoRA'd requests trace a different program than
     None-LoRA ones, so pass one to warm the path real requests take.
+    ``sample_ip_adapter``: the InstantID per-layer K/V list (engine's
+    InstantIDModels.ip_adapter_layers) — when given, the InstantID
+    stage-2 variant (ip_context tokens + decoupled attention) is warmed
+    too; without it, face requests hit a cold multi-minute compile
+    despite --warmup (ADVICE round 2).
     ``vae_params``: also warm the per-bucket decode when given.
-    Returns the number of compiled programs.
+    Returns the number of compiled programs. Shapes that differ from the
+    warmed ones (another LoRA rank/structure, ControlNet conditions, an
+    unusual step count) still compile on first request — a note is
+    logged so operators are not surprised.
     """
     dt = cfg.unet.dtype
     d = cfg.unet.cross_attention_dim
@@ -59,6 +70,8 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
     sched = schedulers.make_schedule(scheduler, steps)
     params = _shapes_of(unet_params)
     lora_s = _shapes_of(sample_lora) if sample_lora is not None else None
+    ip_layers_s = (_shapes_of(sample_ip_adapter)
+                   if sample_ip_adapter is not None else None)
     n = 0
     for height, width in buckets:
         h, w = height // 8, width // 8
@@ -98,6 +111,19 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
                 tuple([concept] * K), tuple([lora_s] * K), masks,
                 i0=boundary, fusion_start=fusion_start).compile()
             n += 1
+            if ip_layers_s is not None:
+                # InstantID variant: ip_context tokens + decoupled K/V
+                # (a distinct program from the LoRA-only one)
+                concept_ip = multiconcept.ConceptInputs(
+                    _sds((2, 77, d), dt), _sds((2, pdim), dt),
+                    _sds((2, 6)), _sds((2, ip_tokens, d), dt))
+                multiconcept._denoise_mc_range_traj.lower(
+                    cfg, sched, params, lat, st, a_traj, base, ctl_s,
+                    tuple([concept_ip] * K), tuple([lora_s] * K), masks,
+                    i0=boundary, fusion_start=fusion_start,
+                    concept_ip_adapters=(ip_layers_s,),
+                    ip_scale_static=ip_scale).compile()
+                n += 1
         if vae_params is not None:
             # engine._decode decodes the [2, h, w, 4] stage outputs
             sdxl.decode_latents.lower(
@@ -107,15 +133,29 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
         log(f"warmup {height}x{width}: {time.time() - t0:.1f}s "
             f"({len(concept_counts)} concept variants"
             f"{', lora' if lora_s is not None else ''}"
+            f"{', instantid' if ip_layers_s is not None else ''}"
             f"{', vae' if vae_params is not None else ''})")
+    cold = []
+    if lora_s is not None:
+        cold.append("LoRA trees with a different rank/structure than the "
+                    "sample")
+    else:
+        cold.append("LoRA'd requests (no sample_lora given)")
+    if ip_layers_s is None:
+        cold.append("InstantID requests (no sample_ip_adapter given)")
+    cold.append("ControlNet-conditioned requests")
+    log(f"warmup note: still cold on first hit: {'; '.join(cold)}; "
+        f"step counts other than {steps} also recompile")
     return n
 
 
 def default_serving_warmup(cfg, *, unet_params, steps: int = 50,
                            scheduler: str = "euler",
                            sample_lora: Optional[dict] = None,
+                           sample_ip_adapter: Optional[list] = None,
                            vae_params=None, log=print) -> int:
     return warmup(cfg, unet_params=unet_params, steps=steps,
                   buckets=RESOLUTIONS, concept_counts=(1, 2),
                   scheduler=scheduler, sample_lora=sample_lora,
+                  sample_ip_adapter=sample_ip_adapter,
                   vae_params=vae_params, log=log)

@@ -28,7 +28,28 @@ def test_warmup_tiny_counts():
                       buckets=((32, 32),), concept_counts=(1, 2),
                       vae_params=vae_params, log=msgs.append)
     assert n == 5  # prefix + traj suffix + 2 concept variants + vae
-    assert len(msgs) == 1
+    assert len(msgs) == 2  # per-bucket line + cold-shapes note
+    assert "still cold" in msgs[-1]
+
+
+def test_warmup_instantid_variant():
+    """sample_ip_adapter warms the InstantID stage-2 program too (ADVICE
+    round 2: face requests used to hit a cold multi-minute compile
+    despite --warmup)."""
+    from omg_tpu.nn.attention import init_ip_kv
+
+    cfg = sdxl.tiny_config()
+    params = _unet_shapes(cfg, packed=False)
+    n_layers = unet_lib.num_cross_attention_layers(cfg.unet)
+    ip_layers = [init_ip_kv(jax.random.PRNGKey(10 + i),
+                            cfg.unet.cross_attention_dim, 64)
+                 for i in range(n_layers)]
+    n = warmup.warmup(cfg, unet_params=params, steps=3,
+                      buckets=((32, 32),), concept_counts=(2,),
+                      sample_ip_adapter=ip_layers, ip_tokens=4,
+                      log=lambda *_: None)
+    # prefix + traj suffix + (plain + instantid) stage-2 variants
+    assert n == 4
 
 
 def test_warmup_matches_real_serving_programs():
