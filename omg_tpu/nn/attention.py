@@ -75,6 +75,24 @@ def sdpa(q: Array, k: Array, v: Array, *, mask: Optional[Array] = None) -> Array
     """
     from omg_tpu.ops import flash_attention as fa
     if mask is None:
+        seq = fa.seq_context()
+        if seq is not None:
+            # sequence-sharded self-attention (spatial stage-1 layout):
+            # local query block x all-gathered K/V per chip. Cross
+            # attention (nq != nk, 77-token K/V) and ineligible shapes
+            # fall through to the XLA einsum, which GSPMD partitions
+            # over the token axis with its own K/V gather.
+            mesh, lane_ax, seq_ax, interpret = seq
+            ns = fa._axis_size(mesh, seq_ax)
+            nl = fa._axis_size(mesh, lane_ax)
+            if (q.shape[2] == k.shape[2] and q.shape[0] % max(nl, 1) == 0
+                    and q.shape[2] % ns == 0
+                    and fa.use_flash(q.shape[2] // ns, k.shape[2],
+                                     q.shape[3], allow_interpret=interpret,
+                                     seq_local=True)):
+                return fa.flash_attention_seq_sharded(
+                    q, k, v, mesh=mesh, lane_axis=lane_ax,
+                    seq_axis=seq_ax, interpret=interpret)
         ctx = fa.lane_context()
         if ctx is not None:
             # lane-sharded batch (multi-chip latency mode): shard_map the

@@ -38,9 +38,21 @@ DEFAULT_BK = 1024
 
 # Trace-time counters: multi-chip dry runs assert the kernel path was
 # actually taken (round 1 silently lost the kernel under lane sharding).
-TRACE_STATS = {"flash_calls": 0, "shard_map_calls": 0}
+TRACE_STATS = {"flash_calls": 0, "shard_map_calls": 0, "seq_shard_calls": 0}
 
 _lane_ctx = threading.local()
+
+
+def _axis_size(mesh, axis) -> int:
+    """Mesh extent of an axis name or tuple of names."""
+    if axis is None:
+        return 1
+    if isinstance(axis, (tuple, list)):
+        n = 1
+        for a in axis:
+            n *= mesh.shape[a]
+        return n
+    return mesh.shape[axis]
 
 
 @contextlib.contextmanager
@@ -66,6 +78,52 @@ def lane_sharded(mesh, axis: str, *, interpret: bool = False):
 
 def lane_context():
     return getattr(_lane_ctx, "spec", None)
+
+
+@contextlib.contextmanager
+def seq_sharded(mesh, lane_axis, seq_axis, *, interpret: bool = False):
+    """Trace-time context: route self-attention through the
+    sequence-sharded flash path (the spatially-sharded stage-1 layout).
+
+    The stage-1 multi-chip mode shards the latent's H axis over
+    ``seq_axis`` (and the two CFG lanes over ``lane_axis``), so every
+    conv/GEMM is token-parallel with replicated weights — the one op
+    that mixes tokens is self-attention. Inside this context, eligible
+    self-attention runs shard_map'd: each chip all-gathers K/V over
+    ``seq_axis`` (the ONLY per-layer collective) and runs the flash
+    kernel on its local query block against the full K/V.
+    """
+    prev = getattr(_lane_ctx, "seq_spec", None)
+    _lane_ctx.seq_spec = (mesh, lane_axis, seq_axis, interpret)
+    try:
+        yield
+    finally:
+        _lane_ctx.seq_spec = prev
+
+
+def seq_context():
+    return getattr(_lane_ctx, "seq_spec", None)
+
+
+def flash_attention_seq_sharded(q: Array, k: Array, v: Array, *, mesh,
+                                lane_axis, seq_axis,
+                                interpret: bool = False) -> Array:
+    """Flash attention with the token axis shard_map'd over ``seq_axis``
+    (and the batch axis over ``lane_axis``): q stays local per chip; K/V
+    are all-gathered over the sequence shards — exact, no cross-chip
+    softmax (the online-softmax runs per query block as usual)."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+    TRACE_STATS["seq_shard_calls"] += 1
+    spec = P(lane_axis, None, seq_axis, None)
+
+    def fn(q_, k_, v_):
+        k_full = jax.lax.all_gather(k_, seq_axis, axis=2, tiled=True)
+        v_full = jax.lax.all_gather(v_, seq_axis, axis=2, tiled=True)
+        return flash_attention(q_, k_full, v_full, interpret=interpret)
+
+    return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
+                     out_specs=spec, check_rep=False)(q, k, v)
 
 
 def flash_attention_sharded(q: Array, k: Array, v: Array, *, mesh, axis: str,
@@ -162,15 +220,25 @@ def flash_attention(q: Array, k: Array, v: Array, *,
 
 
 def use_flash(nq: int, nk: int, head_dim: int, *,
-              allow_interpret: bool = False) -> bool:
+              allow_interpret: bool = False,
+              seq_local: bool = False) -> bool:
     """Trace-time routing: flash for large dense self-attention on TPU
-    (or anywhere when the caller runs the kernel interpreted)."""
+    (or anywhere when the caller runs the kernel interpreted).
+
+    ``seq_local``: nq is a PER-CHIP query block of a sequence-sharded
+    self-attention (nq < nk is expected; the kernel's grid is over nq
+    and its fori_loop over nk, so unequal extents are native)."""
     if jax.default_backend() != "tpu":
         if not allow_interpret:
             return False
         # interpret mode (CPU dry runs): no MXU tiling constraints —
         # engage on any square self-attention so tiny-geometry dry runs
         # execute the real kernel logic under shard_map
+        if seq_local:
+            return nq >= 1 and nk >= 4 and nk % 4 == 0
         return nq == nk and nq >= 4 and nq % 4 == 0
+    if seq_local:
+        return (nq >= 256 and nq % 128 == 0 and nk % 128 == 0
+                and head_dim in (64, 128))
     return (nq == nk and nq >= 1024 and nq % 128 == 0
             and head_dim in (64, 128))

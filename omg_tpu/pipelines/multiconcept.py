@@ -531,61 +531,56 @@ class StageCache(NamedTuple):
     a_final: Optional[Array] = None      # [1, h, w, 4] stage-1 final latent
 
 
-@functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg"))
+def _spatial_ctx(spatial_sharding):
+    """(lin_sharding, carry_sharding, seq_sharded-context) for the
+    spatially-sharded stage-1 layout, or no-ops when unsharded.
+
+    ``spatial_sharding`` is a NamedSharding whose spec names (lane_axis,
+    seq_axis): the two CFG rows shard over lane_axis and the latent's H
+    axis over seq_axis — every conv/GEMM is then token-parallel with
+    replicated weights (GSPMD inserts the conv halos and norm-stat
+    psums); self-attention routes through the sequence-sharded flash
+    kernel (ops/flash_attention.seq_sharded).
+    """
+    import contextlib
+    if spatial_sharding is None:
+        return None, None, contextlib.nullcontext()
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from omg_tpu.ops import flash_attention as fa
+    mesh = spatial_sharding.mesh
+    lane_ax, seq_ax = spatial_sharding.spec[0], spatial_sharding.spec[1]
+    lin_sh = NamedSharding(mesh, P(lane_ax, seq_ax))
+    carry_sh = NamedSharding(mesh, P(None, seq_ax))
+    ctx = fa.seq_sharded(mesh, lane_ax, seq_ax,
+                         interpret=jax.default_backend() != "tpu")
+    return lin_sh, carry_sh, ctx
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg",
+                                             "spatial_sharding"))
 def _denoise_cfg_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                        unet_params: dict, latents: Array,
                        state: schedulers.SchedulerState,
                        base_inputs: BaseInputs, *, i0: int, i1: int,
-                       base_controlnets: tuple = (), cn_cfg=None) -> tuple:
-    """Plain b=1 CFG denoise over steps [i0, i1); inputs rows [unc, cond]."""
+                       base_controlnets: tuple = (), cn_cfg=None,
+                       spatial_sharding=None) -> tuple:
+    """Plain b=1 CFG denoise over steps [i0, i1); inputs rows [unc, cond].
+
+    ``spatial_sharding``: multi-chip stage-1 latency layout — CFG lanes
+    x latent-H shards over a (lane, seq) mesh (see _spatial_ctx)."""
     embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
     tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
     tids2 = base_inputs.time_ids[jnp.array([0, 2])]
+    lin_sh, carry_sh, seq_ctx = _spatial_ctx(spatial_sharding)
 
     def body(i, carry):
         x, st = carry
         t = sched.timesteps[i]
         lin = jnp.concatenate([x, x])
         lin = schedulers.scale_model_input(sched, lin, i)
-        down_res = mid_res = None
-        if base_controlnets:
-            down_res, mid_res = _controlnet_residuals(
-                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2,
-                step_i=i, num_steps=sched.num_steps, cond_rows=(1,))
-        eps = unet.apply(unet_params, cfg.unet, lin, t, embeds2,
-                         text_embeds=tembeds2, time_ids=tids2,
-                         down_block_residuals=down_res,
-                         mid_block_residual=mid_res)
-        guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
-        return schedulers.step(sched, st, guided, i, x,
-                               shared_batch_noise=True)
-
-    return jax.lax.fori_loop(i0, i1, body, (latents, state))
-
-
-@functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg"))
-def _denoise_cfg_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
-                            unet_params: dict, latents: Array,
-                            state: schedulers.SchedulerState,
-                            base_inputs: BaseInputs, *, i0: int, i1: int,
-                            base_controlnets: tuple = (),
-                            cn_cfg=None) -> tuple:
-    """Like _denoise_cfg_range, additionally recording each step's INPUT
-    latent -> (latents, state, traj[i1-i0, ...]). The trajectory feeds the
-    3-row stage-2 fast path (copy A's lane inputs are exactly these)."""
-    embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
-    tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
-    tids2 = base_inputs.time_ids[jnp.array([0, 2])]
-    traj0 = jnp.zeros((max(i1 - i0, 0),) + latents.shape, latents.dtype)
-    if i1 <= i0:          # empty suffix (fusion gate at/after the last step)
-        return latents, state, traj0
-
-    def body(i, carry):
-        x, st, traj = carry
-        traj = jax.lax.dynamic_update_index_in_dim(traj, x, i - i0, 0)
-        t = sched.timesteps[i]
-        lin = jnp.concatenate([x, x])
-        lin = schedulers.scale_model_input(sched, lin, i)
+        if lin_sh is not None:
+            lin = jax.lax.with_sharding_constraint(lin, lin_sh)
         down_res = mid_res = None
         if base_controlnets:
             down_res, mid_res = _controlnet_residuals(
@@ -598,9 +593,59 @@ def _denoise_cfg_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
         x, st = schedulers.step(sched, st, guided, i, x,
                                 shared_batch_noise=True)
+        if carry_sh is not None:
+            x = jax.lax.with_sharding_constraint(x, carry_sh)
+        return x, st
+
+    with seq_ctx:
+        return jax.lax.fori_loop(i0, i1, body, (latents, state))
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg",
+                                             "spatial_sharding"))
+def _denoise_cfg_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                            unet_params: dict, latents: Array,
+                            state: schedulers.SchedulerState,
+                            base_inputs: BaseInputs, *, i0: int, i1: int,
+                            base_controlnets: tuple = (),
+                            cn_cfg=None, spatial_sharding=None) -> tuple:
+    """Like _denoise_cfg_range, additionally recording each step's INPUT
+    latent -> (latents, state, traj[i1-i0, ...]). The trajectory feeds the
+    3-row stage-2 fast path (copy A's lane inputs are exactly these)."""
+    embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
+    tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
+    tids2 = base_inputs.time_ids[jnp.array([0, 2])]
+    traj0 = jnp.zeros((max(i1 - i0, 0),) + latents.shape, latents.dtype)
+    if i1 <= i0:          # empty suffix (fusion gate at/after the last step)
+        return latents, state, traj0
+    lin_sh, carry_sh, seq_ctx = _spatial_ctx(spatial_sharding)
+
+    def body(i, carry):
+        x, st, traj = carry
+        traj = jax.lax.dynamic_update_index_in_dim(traj, x, i - i0, 0)
+        t = sched.timesteps[i]
+        lin = jnp.concatenate([x, x])
+        lin = schedulers.scale_model_input(sched, lin, i)
+        if lin_sh is not None:
+            lin = jax.lax.with_sharding_constraint(lin, lin_sh)
+        down_res = mid_res = None
+        if base_controlnets:
+            down_res, mid_res = _controlnet_residuals(
+                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2,
+                step_i=i, num_steps=sched.num_steps, cond_rows=(1,))
+        eps = unet.apply(unet_params, cfg.unet, lin, t, embeds2,
+                         text_embeds=tembeds2, time_ids=tids2,
+                         down_block_residuals=down_res,
+                         mid_block_residual=mid_res)
+        guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
+        x, st = schedulers.step(sched, st, guided, i, x,
+                                shared_batch_noise=True)
+        if carry_sh is not None:
+            x = jax.lax.with_sharding_constraint(x, carry_sh)
         return (x, st, traj)
 
-    return jax.lax.fori_loop(i0, i1, body, (latents, state, traj0))
+    with seq_ctx:
+        return jax.lax.fori_loop(i0, i1, body, (latents, state, traj0))
 
 
 @functools.partial(
@@ -931,7 +976,7 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                          width: int, base_inputs: BaseInputs,
                          fusion_start: int = regions.FUSION_START_STEP,
                          base_controlnets: Sequence = (),
-                         cn_cfg=None,
+                         cn_cfg=None, spatial_sharding=None,
                          initial_noise: Optional[Array] = None) -> tuple:
     """Stage 1 via the dedup fast path -> ([2, h, w, 4] latents, StageCache).
 
@@ -955,11 +1000,12 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     lat_b, st_b = _denoise_cfg_range(
         cfg, sched, unet_params, lat, state, base_inputs,
         i0=0, i1=boundary, base_controlnets=tuple(base_controlnets),
-        cn_cfg=cn_cfg)
+        cn_cfg=cn_cfg, spatial_sharding=spatial_sharding)
     lat_end, _, traj = _denoise_cfg_range_traj(
         cfg, sched, unet_params, lat_b, st_b, base_inputs,
         i0=boundary, i1=sched.num_steps,
-        base_controlnets=tuple(base_controlnets), cn_cfg=cn_cfg)
+        base_controlnets=tuple(base_controlnets), cn_cfg=cn_cfg,
+        spatial_sharding=spatial_sharding)
     cache = StageCache(lat_b, st_b, a_traj=traj, a_final=lat_end)
     return duplicate_latents(lat_end), cache
 
@@ -1161,44 +1207,66 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("cfg", "height", "width", "fusion_start"))
+                   static_argnames=("cfg", "height", "width", "fusion_start",
+                                    "cn_cfg"))
 def sample_stage1_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                         unet_params: dict, keys: Array,
                         base_inputs_r: BaseInputs, *, height: int,
                         width: int,
-                        fusion_start: int = regions.FUSION_START_STEP
-                        ) -> tuple:
+                        fusion_start: int = regions.FUSION_START_STEP,
+                        base_cn_params: Optional[dict] = None,
+                        base_cn_conds_r: Optional[tuple] = None,
+                        cn_cfg=None) -> tuple:
     """Batched stage 1: keys [R] + request-stacked BaseInputs ->
-    (latents [R, 2, h, w, 4], request-stacked StageCache)."""
+    (latents [R, 2, h, w, 4], request-stacked StageCache).
+
+    ``base_cn_params`` + ``base_cn_conds_r``: optional SHARED spatial
+    ControlNet weights with per-request conditioning
+    (cond_image [R, 1, H, W, C], scale [R], guidance_start [R],
+    guidance_end [R]) — requests without a condition ride along with
+    scale 0 (exactly zero residuals)."""
     boundary = min(fusion_start + 1, sched.num_steps)
 
-    def one(key, base):
+    def one(key, base, cn_cond):
+        cns = ()
+        if cn_cond is not None:
+            cond, scale, gs, ge = cn_cond
+            cns = (ControlNetInputs(
+                params=base_cn_params, cond_image=cond, scale=scale,
+                guidance_start=gs, guidance_end=ge),)
         lat = sdxl.prepare_latents(key, 1, height, width, sched,
                                    cfg.unet.dtype)
         state = schedulers.init_state(sched, lat.shape,
                                       key=jax.random.fold_in(key, 777))
         lat_b, st_b = _denoise_cfg_range.__wrapped__(
             cfg, sched, unet_params, lat, state, base,
-            i0=0, i1=boundary)
+            i0=0, i1=boundary, base_controlnets=cns, cn_cfg=cn_cfg)
         lat_end, _, traj = _denoise_cfg_range_traj.__wrapped__(
             cfg, sched, unet_params, lat_b, st_b, base,
-            i0=boundary, i1=sched.num_steps)
+            i0=boundary, i1=sched.num_steps, base_controlnets=cns,
+            cn_cfg=cn_cfg)
         return (duplicate_latents(lat_end),
                 StageCache(lat_b, st_b, a_traj=traj, a_final=lat_end))
 
-    return jax.vmap(one)(keys, base_inputs_r)
+    return jax.vmap(one)(keys, base_inputs_r, base_cn_conds_r)
 
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "fusion_start",
-                                    "ip_scale_static"))
+                                    "ip_scale_static", "cn_cfg"))
 def sample_stage2_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                         unet_params: dict, cache_r: StageCache,
                         base_inputs_r: BaseInputs, controller,
                         concept_inputs_r: tuple, concept_loras_r: tuple,
                         masks_r: Array, *,
                         fusion_start: int = regions.FUSION_START_STEP,
-                        ip_scale_static: float = 1.0) -> Array:
+                        ip_scale_static: float = 1.0,
+                        concept_ip_adapters: tuple = (),
+                        concept_cn_params: Optional[dict] = None,
+                        concept_cn_conds_r: Optional[tuple] = None,
+                        base_cn_params: Optional[dict] = None,
+                        base_cn_conds_r: Optional[tuple] = None,
+                        cn_cfg=None) -> Array:
     """Batched stage 2 over request-stacked inputs -> [R, 2, h, w, 4].
 
     ``concept_loras_r``: tuple of request-stacked adapter trees — align
@@ -1206,6 +1274,18 @@ def sample_stage2_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     structure. The controller is shared: OMG always builds it from
     [prompt, prompt] (identity mapper + the default blend schedule), so
     it is request-independent for a fixed step count.
+
+    InstantID + ControlNet batching (BASELINE config #5's full batched
+    half): per-concept ip_context tokens ride inside ConceptInputs;
+    ``concept_ip_adapters`` are the SHARED decoupled K/V weights.
+    ``concept_cn_params``/``concept_cn_conds_r``: one shared IdentityNet
+    weight tree + per-(concept, request) conditioning — a tuple over K
+    of None or (cond_image [R, 1, H, W, C], scale [R],
+    ehs [R, 2, T, d] | None); requests without a face get scale 0
+    (exactly zero residuals). ``base_cn_params``/``base_cn_conds_r``:
+    same contract for the spatial ControlNet on the base rows
+    (cond [R, 1, H, W, C], scale [R], guidance_start [R],
+    guidance_end [R]).
     """
     boundary = min(fusion_start + 1, sched.num_steps)
     if boundary >= sched.num_steps:
@@ -1213,16 +1293,38 @@ def sample_stage2_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         return jax.vmap(lambda c: jnp.concatenate(
             [c.a_final, c.a_final]))(cache_r)
 
-    def one(cache, base, concepts, loras, masks):
+    def one(cache, base, concepts, loras, masks, c_cn_conds, b_cn_conds):
+        concept_cns = ()
+        if c_cn_conds is not None:
+            cns = []
+            for c in c_cn_conds:
+                if c is None:
+                    cns.append(None)
+                    continue
+                cond, scale, ehs = c
+                cns.append(ControlNetInputs(
+                    params=concept_cn_params, cond_image=cond,
+                    scale=scale, encoder_hidden_states=ehs))
+            concept_cns = tuple(cns)
+        base_cns = ()
+        if b_cn_conds is not None:
+            cond, scale, gs, ge = b_cn_conds
+            base_cns = (ControlNetInputs(
+                params=base_cn_params, cond_image=cond, scale=scale,
+                guidance_start=gs, guidance_end=ge),)
         lat_b = _denoise_mc_range_traj.__wrapped__(
             cfg, sched, unet_params, cache.latents, cache.sched_state,
             cache.a_traj, base, controller, concepts, loras, masks,
             i0=boundary, fusion_start=fusion_start,
-            ip_scale_static=ip_scale_static)
+            ip_scale_static=ip_scale_static,
+            concept_ip_adapters=concept_ip_adapters,
+            base_controlnets=base_cns,
+            concept_controlnets=concept_cns, cn_cfg=cn_cfg)
         return jnp.concatenate([cache.a_final, lat_b])
 
     return jax.vmap(one)(cache_r, base_inputs_r, concept_inputs_r,
-                         concept_loras_r, masks_r)
+                         concept_loras_r, masks_r, concept_cn_conds_r,
+                         base_cn_conds_r)
 
 
 def sample_stage(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,

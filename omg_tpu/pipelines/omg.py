@@ -112,28 +112,33 @@ class OMG:
 
     def _mesh_placements(self):
         """Lazy per-engine placements for the latency layout:
-        (tp_params, rep_params, lane_sharding). The TP copy serves
-        stage 1 (each model-axis group holds a weight shard); the
-        replicated copy serves the lane-parallel stage 2 (every chip
-        runs whole-UNet lanes). Both stay resident — bf16 SDXL weights
-        shard+replica fit a v5e's 16 GB beside the activations."""
+        (rep_params, lane_sharding, spatial_sharding).
+
+        ONE replicated weight copy serves both stages. Stage 1 is
+        SPATIALLY sharded — the two CFG lanes over the mesh's data axis,
+        the latent's H axis over the model axis — so every conv/GEMM is
+        token-parallel with replicated weights and the only per-layer
+        collective is the self-attention K/V all-gather (SDXL's head
+        counts of 10/20 do not divide a 4-way model axis, so Megatron
+        head-TP is NOT the right layout here; token sharding splits all
+        FLOPs evenly regardless). Stage 2 is lane-parallel: the 4+2K
+        lane batch one-lane-per-chip over a flat mesh."""
         if getattr(self, "_placements", None) is not None:
             return self._placements
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         from omg_tpu.parallel import mesh as mesh_lib
-        from omg_tpu.parallel import sharding as shard_lib
 
-        devices = self.mesh.devices.reshape(-1)
-        tp_tree = shard_lib.unet_tp_sharding(self.params.unet, self.mesh)
-        tp_params = shard_lib.shard_params(self.params.unet, tp_tree)
+        devices = list(self.mesh.devices.reshape(-1))
         flat = mesh_lib.make_mesh(len(devices), data=len(devices),
-                                  model=1, devices=list(devices))
+                                  model=1, devices=devices)
         rep = NamedSharding(flat, P())
         rep_params = jax.tree.map(
             lambda x: jax.device_put(x, rep), self.params.unet)
         lane_sharding = NamedSharding(flat, P(mesh_lib.DATA_AXIS))
-        self._placements = (tp_params, rep_params, lane_sharding)
+        spatial_sharding = NamedSharding(
+            self.mesh, P(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS))
+        self._placements = (rep_params, lane_sharding, spatial_sharding)
         return self._placements
 
     # ---------------------------------------------------------------- text
@@ -183,13 +188,16 @@ class OMG:
                  masks: Optional[Sequence[Optional[np.ndarray]]] = None,
                  fusion_start: Optional[int] = None,
                  initial_noise: Optional[np.ndarray] = None,
+                 scheduler: Optional[str] = None,
                  ) -> GenerationResult:
         steps = num_steps or self.num_steps
         if fusion_start is None:
             # reference gate: i > 15 of 50 steps (lora_pipeline.py:568);
             # scale the same 30% warmup fraction to other step counts.
             fusion_start = round(steps * regions_lib.FUSION_START_STEP / 50)
-        sched = schedulers.make_schedule(self.scheduler, steps)
+        # per-request scheduler override (e.g. LCM few-step requests on
+        # an euler-default server; the microbatcher buckets by it)
+        sched = schedulers.make_schedule(scheduler or self.scheduler, steps)
         key = jax.random.PRNGKey(seed)
 
         # --- conditioning ---------------------------------------------
@@ -280,18 +288,20 @@ class OMG:
 
         # --- stage 1 (dedup fast path; see multiconcept.py) ------------
         stage1_params = stage2_params = self.params.unet
-        lane_sharding = None
+        lane_sharding = spatial_sharding = None
         if self.mesh is not None:
-            # latency layout: TP-sharded weights drive GSPMD through the
-            # stage-1 jits (committed-argument shardings); stage 2 runs
-            # the lane-parallel 4+2K program on the replicated copy
-            stage1_params, stage2_params, lane_sharding = \
+            # latency layout: stage 1 spatially sharded (CFG lanes x
+            # latent-H shards) on replicated weights; stage 2 runs the
+            # lane-parallel 4+2K program on the same replicated copy
+            stage1_params, lane_sharding, spatial_sharding = \
                 self._mesh_placements()
+            stage2_params = stage1_params
         lat1, cache = multiconcept.sample_stage1_cached(
             self.cfg, sched, stage1_params, key=key, height=height,
             width=width, base_inputs=base_inputs,
             fusion_start=fusion_start,
             base_controlnets=base_cns, cn_cfg=self.cn_cfg,
+            spatial_sharding=spatial_sharding,
             initial_noise=initial_noise)
         img1 = self._decode(lat1)
 
@@ -307,6 +317,20 @@ class OMG:
                     m = self.mask_provider(img1[1], cls)
                 masks.append(m)
         masks = list(masks)
+
+        if self.mesh is not None:
+            # boundary reshard: the cache latents carry stage 1's
+            # SPATIAL sharding; fed raw into the lane-parallel stage-2
+            # loop, GSPMD "involuntarily rematerializes" the lane concat
+            # every step (observed in the dryrun SPMD log). One explicit
+            # replication here keeps the stage-2 loop clean.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            rep = NamedSharding(lane_sharding.mesh, P())
+            cache = multiconcept.StageCache(
+                latents=jax.device_put(cache.latents, rep),
+                sched_state=jax.tree.map(
+                    lambda x: jax.device_put(x, rep), cache.sched_state),
+                a_traj=None, a_final=jax.device_put(cache.a_final, rep))
 
         # IdentityNet conditions: kps of the faces DETECTED ON STAGE 1,
         # at canvas coordinates (reference: face_app.get(stage1) +
@@ -364,11 +388,14 @@ class OMG:
 
     def _region_conditioning(self, prompt_rewrite: str,
                              concept_loras: Sequence[Optional[dict]],
-                             style_lora: Optional[dict], tids):
-        """Per-request region prompts -> (concept_inputs, final loras).
-        The LoRA-only subset of generate()'s conditioning build (batched
-        serving covers BASELINE config #5's LoRA path; InstantID /
-        ControlNet requests fall back to the serial path)."""
+                             style_lora: Optional[dict], tids,
+                             instantid=None,
+                             face_embeddings: Sequence = ()):
+        """Per-request region prompts -> (specs, concept_inputs, loras).
+        generate_batch's per-request conditioning build: region prompts
+        with concept/style text-encoder LoRAs, plus InstantID ip_context
+        tokens when the request carries face embeddings (BASELINE
+        config #5's batched half)."""
         region_specs = rewrite.parse_rewrite(prompt_rewrite)
         concept_inputs, loras_final = [], []
         for k, region in enumerate(region_specs):
@@ -388,8 +415,15 @@ class OMG:
             rep_, rpp, ren, rpn = self.encode(region.prompt,
                                               region.negative_prompt,
                                               te_lora=te_lora)
+            ip_ctx = None
+            if instantid is not None and k < len(face_embeddings) \
+                    and face_embeddings[k] is not None:
+                from omg_tpu import instantid as iid
+                ip_ctx = iid.encode_face_tokens(
+                    instantid.resampler_params, instantid.resampler_cfg,
+                    jnp.asarray(face_embeddings[k]))
             concept_inputs.append(multiconcept.make_concept_inputs(
-                rep_, rpp, ren, rpn, tids))
+                rep_, rpp, ren, rpn, tids, ip_context=ip_ctx))
             unet_tree = tree_k.get("unet", tree_k) if tree_k else None
             style_tree = (style_lora.get("unet", style_lora)
                           if style_lora is not None else None)
@@ -404,13 +438,19 @@ class OMG:
                        ) -> List[GenerationResult]:
         """R compatible requests as ONE vmapped program per stage.
 
-        Request dicts take generate()'s keyword arguments (LoRA subset:
-        prompt/negative_prompt/prompt_rewrite/concept_loras/style_lora/
-        seed/guidance_scale). All requests must share height/width/steps
-        (one compiled program; the server buckets by these). Detection
-        still runs per-request on the host between the stages. Plays the
-        batched half of BASELINE config #5 that the reference's gradio
-        app never had (it serves strictly serially, app.py:359-473).
+        Request dicts take generate()'s keyword arguments. All requests
+        must share height/width/steps/scheduler (one compiled program;
+        the server buckets by these). Detection still runs per-request
+        on the host between the stages. Plays the batched half of
+        BASELINE config #5 that the reference's gradio app never had
+        (it serves strictly serially, app.py:359-473) — including
+        InstantID and ControlNet requests: face requests batch when
+        they share one InstantIDModels stack (no-face requests ride
+        along with zero IP tokens and zero-scale IdentityNet rows —
+        exact no-ops), and spatial-condition requests batch when they
+        share one ControlNet weight tree (per-request cond images,
+        scales, and guidance windows; no-condition requests get
+        scale 0). Guess-mode and explicit-mask requests run serially.
         """
         def serial(rs):
             out = []
@@ -419,24 +459,35 @@ class OMG:
                 out.append(self.generate(r.pop("prompt"), **r))
             return out
 
-        unsupported = ("instantid", "face_embeddings", "face_kps_image",
-                       "face_kps_provider",
-                       "spatial_condition", "controlnet_params", "masks")
+        unsupported = ("masks", "controlnet_guess_mode", "initial_noise")
         # a mesh engine is the LATENCY layout: all chips serve one
         # request at a time, so requests run serially through generate()
         if len(requests) == 1 or self.mesh is not None or any(
                 r.get(k) for r in requests for k in unsupported):
             return serial(requests)
+        # heterogeneous weights cannot share one vmapped program: all
+        # live InstantID stacks / ControlNet trees must be one object
+        live_iids = [r["instantid"] for r in requests if r.get("instantid")]
+        if any(i is not live_iids[0] for i in live_iids):
+            return serial(requests)
+        live_cnp = [r["controlnet_params"] for r in requests
+                    if r.get("controlnet_params") is not None]
+        if any(c is not live_cnp[0] for c in live_cnp):
+            return serial(requests)
+        iid_models = live_iids[0] if live_iids else None
         steps = requests[0].get("num_steps") or self.num_steps
         height = requests[0].get("height", 1024)
         width = requests[0].get("width", 1024)
+        sched_name = requests[0].get("scheduler") or self.scheduler
         for r in requests[1:]:
             if ((r.get("num_steps") or self.num_steps, r.get("height", 1024),
-                 r.get("width", 1024)) != (steps, height, width)):
+                 r.get("width", 1024), r.get("scheduler") or self.scheduler)
+                    != (steps, height, width, sched_name)):
                 raise ValueError("batched requests must share "
-                                 "height/width/steps (bucket them)")
+                                 "height/width/steps/scheduler (bucket "
+                                 "them)")
         fusion_start = round(steps * regions_lib.FUSION_START_STEP / 50)
-        sched = schedulers.make_schedule(self.scheduler, steps)
+        sched = schedulers.make_schedule(sched_name, steps)
         tids = sdxl.add_time_ids((height, width), (0, 0), (height, width))
 
         base_list, concepts_list, loras_list, specs_list = [], [], [], []
@@ -447,7 +498,9 @@ class OMG:
                 ep, pp, en, pn, tids, r.get("guidance_scale", 7.5)))
             specs, concepts, loras = self._region_conditioning(
                 r.get("prompt_rewrite", ""), r.get("concept_loras", ()),
-                r.get("style_lora"), tids)
+                r.get("style_lora"), tids,
+                instantid=(iid_models if r.get("instantid") else None),
+                face_embeddings=r.get("face_embeddings", ()))
             specs_list.append(specs)
             concepts_list.append(concepts)
             loras_list.append(loras)
@@ -465,6 +518,23 @@ class OMG:
                 concepts_list[r_i] = list(concepts_list[r_i]) + [neutral]
                 loras_list[r_i] = list(loras_list[r_i]) + [None]
 
+        # InstantID rows must share ONE tree structure across requests:
+        # no-face (concept, request) slots get zero ip_context tokens —
+        # an exact no-op (to_v_ip is bias-free)
+        zero_ip = None
+        for cl in concepts_list:
+            for ci in cl:
+                if ci.ip_context is not None:
+                    zero_ip = jnp.zeros_like(ci.ip_context)
+                    break
+            if zero_ip is not None:
+                break
+        if zero_ip is not None:
+            concepts_list = [
+                [ci if ci.ip_context is not None
+                 else ci._replace(ip_context=zero_ip) for ci in cl]
+                for cl in concepts_list]
+
         def stack(*xs):
             return jax.tree.map(lambda *ls: jnp.stack(ls), *xs)
 
@@ -472,9 +542,33 @@ class OMG:
         keys = jnp.stack([jax.random.PRNGKey(int(r.get("seed", 14)))
                           for r in requests])
 
+        # shared spatial ControlNet: per-request cond/scale/window rows;
+        # requests without a condition ride with scale 0 (exact no-op)
+        base_cn_params = base_cn_conds_r = None
+        if live_cnp:
+            conds, scales, gss, ges = [], [], [], []
+            for r in requests:
+                sc = r.get("spatial_condition")
+                has = sc is not None and \
+                    r.get("controlnet_params") is not None
+                conds.append(
+                    jnp.asarray(sc, jnp.float32)[None] / 255.0 if has
+                    else jnp.zeros((1, height, width, 3), jnp.float32))
+                scales.append(float(r.get("controlnet_scale", 1.0))
+                              if has else 0.0)
+                gss.append(float(r.get("control_guidance_start", 0.0)))
+                ges.append(float(r.get("control_guidance_end", 1.0)))
+            base_cn_params = live_cnp[0]
+            base_cn_conds_r = (
+                jnp.stack(conds), jnp.asarray(scales, jnp.float32),
+                jnp.asarray(gss, jnp.float32),
+                jnp.asarray(ges, jnp.float32))
+
         lat1_r, cache_r = multiconcept.sample_stage1_batch(
             self.cfg, sched, self.params.unet, keys, base_r,
-            height=height, width=width, fusion_start=fusion_start)
+            height=height, width=width, fusion_start=fusion_start,
+            base_cn_params=base_cn_params,
+            base_cn_conds_r=base_cn_conds_r, cn_cfg=self.cn_cfg)
 
         results = []
         masks_per_req = []
@@ -517,9 +611,59 @@ class OMG:
             (stack(*t) if any(x is not None for x in t) else None)
             for t in loras_r)
 
+        # InstantID stage-2 conditioning: shared decoupled-K/V weights;
+        # per-request IdentityNet rows from the kps of the faces found
+        # on each request's OWN stage-1 image (reference semantics,
+        # inference_instantid.py:352-354); no-face rows get scale 0
+        ip_adapters = ()
+        ip_scale = 1.0
+        concept_cn_params = concept_cn_conds_r = None
+        if iid_models is not None:
+            ip_adapters = (iid_models.ip_adapter_layers,)
+            ip_scale = iid_models.ip_scale
+            if iid_models.identitynet_params is not None:
+                kimgs, has_kps = [], []
+                for r_i, r in enumerate(requests):
+                    kimg = None
+                    if r.get("instantid"):
+                        kimg = r.get("face_kps_image")
+                        if kimg is None and r.get("face_kps_provider"):
+                            kimg = r["face_kps_provider"](
+                                results[r_i].stage1[1])
+                    has_kps.append(kimg is not None)
+                    kimgs.append(
+                        jnp.asarray(kimg, jnp.float32)[None] / 255.0
+                        if kimg is not None
+                        else jnp.zeros((1, height, width, 3), jnp.float32))
+                cond_r = jnp.stack(kimgs)
+                concept_cn_params = iid_models.identitynet_params
+                conds_k = []
+                for k in range(max_k):
+                    ehs_rows, scales = [], []
+                    for r_i, r in enumerate(requests):
+                        fe = r.get("face_embeddings", ())
+                        live = (r.get("instantid") and has_kps[r_i]
+                                and k < len(fe) and fe[k] is not None)
+                        ehs_rows.append(concepts_list[r_i][k].ip_context
+                                        if zero_ip is not None else None)
+                        scales.append(iid_models.identitynet_scale
+                                      if live else 0.0)
+                    ehs_r = (jnp.stack(ehs_rows)
+                             if zero_ip is not None else None)
+                    conds_k.append((cond_r,
+                                    jnp.asarray(scales, jnp.float32),
+                                    ehs_r))
+                concept_cn_conds_r = tuple(conds_k)
+
         lat2_r = multiconcept.sample_stage2_batch(
             self.cfg, sched, self.params.unet, cache_r, base_r, controller,
-            concepts_r, loras_r, mask_stacks, fusion_start=fusion_start)
+            concepts_r, loras_r, mask_stacks, fusion_start=fusion_start,
+            ip_scale_static=ip_scale,
+            concept_ip_adapters=ip_adapters,
+            concept_cn_params=concept_cn_params,
+            concept_cn_conds_r=concept_cn_conds_r,
+            base_cn_params=base_cn_params,
+            base_cn_conds_r=base_cn_conds_r, cn_cfg=self.cn_cfg)
         for r_i in range(len(requests)):
             if any(m is not None for m in masks_per_req[r_i]):
                 results[r_i] = dataclasses.replace(

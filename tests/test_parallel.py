@@ -106,3 +106,60 @@ def test_unet_tp_sharding_quantized_and_packed():
     o_spec = blk["attn1"]["to_out"]["weight"].spec
     assert q_spec == P(None, None, "model"), q_spec
     assert o_spec == P(None, "model", None), o_spec
+
+
+def test_seq_sharded_flash_matches_sdpa():
+    """Sequence-sharded flash (local q x all-gathered K/V, the spatial
+    stage-1 layout) == unsharded XLA sdpa at a real shape."""
+    from omg_tpu.ops import flash_attention as fa
+
+    mesh = mesh_lib.make_mesh(8, data=2, model=4)
+    qkv = jax.random.normal(jax.random.PRNGKey(9), (3, 2, 4, 512, 64),
+                            jnp.float32)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    got = fa.flash_attention_seq_sharded(
+        q, k, v, mesh=mesh, lane_axis=mesh_lib.DATA_AXIS,
+        seq_axis=mesh_lib.MODEL_AXIS, interpret=True)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) * (64 ** -0.5)
+    want = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+
+def test_spatial_stage1_matches_unsharded():
+    """_denoise_cfg_range under the (lane x seq) spatial sharding ==
+    the unsharded program (same seed/steps) — the stage-1 layout of the
+    v5e-8 latency mode, exactness-tested on the virtual mesh."""
+    from omg_tpu.diffusion import schedulers
+    from omg_tpu.models import unet as unet_lib
+    from omg_tpu.ops import flash_attention as fa
+    from omg_tpu.pipelines import multiconcept, sdxl
+
+    cfg = sdxl.tiny_config()
+    params = unet_lib.init_params(jax.random.PRNGKey(0), cfg.unet)
+    sched = schedulers.make_schedule("euler", 2)
+    d = cfg.unet.cross_attention_dim
+    pdim = cfg.text_encoder_2.projection_dim
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    tids = sdxl.add_time_ids((64, 64), (0, 0), (64, 64))
+    base = multiconcept.make_base_inputs(
+        jax.random.normal(ks[0], (1, 77, d)),
+        jax.random.normal(ks[2], (1, pdim)),
+        jax.random.normal(ks[1], (1, 77, d)),
+        jax.random.normal(ks[3], (1, pdim)), tids, 7.5)
+    lat0 = sdxl.prepare_latents(jax.random.PRNGKey(3), 1, 64, 64, sched,
+                                cfg.unet.dtype)
+    st0 = schedulers.init_state(sched, lat0.shape)
+
+    mesh = mesh_lib.make_mesh(8, data=2, model=4)
+    spatial = NamedSharding(mesh, P(mesh_lib.DATA_AXIS,
+                                    mesh_lib.MODEL_AXIS))
+    fa.TRACE_STATS["seq_shard_calls"] = 0
+    got, _ = multiconcept._denoise_cfg_range(
+        cfg, sched, params, lat0, st0, base, i0=0, i1=2,
+        spatial_sharding=spatial)
+    ref, _ = multiconcept._denoise_cfg_range(
+        cfg, sched, params, lat0, st0, base, i0=0, i1=2)
+    assert fa.TRACE_STATS["seq_shard_calls"] > 0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-4)
