@@ -1,0 +1,250 @@
+"""Extract per-step collective volumes from the compiled 8-device HLO.
+
+VERDICT round-2 item 1(b): the round-2 projection assumed a +10%
+lane-parallel overhead. Here the ACTUAL multi-chip programs — the
+spatially-sharded stage-1 CFG denoise and the lane-parallel stage-2
+4+2K program with the P2P controller — are compiled for an 8-device
+mesh (virtual CPU devices; XLA's SPMD partitioner emits the same
+collective structure it would for a TPU mesh) at true SDXL geometry,
+and every all-gather / all-reduce / collective-permute / all-to-all in
+the step body is counted with its byte volume.
+
+Writes tools/v5e8_collectives.json, consumed by tools/project_v5e8.py.
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python tools/collective_stats.py
+
+(The script forces the CPU backend itself; SDXL-size CPU compiles take
+a while — tens of minutes on one core. OMG_COLL_SIZE=tiny smoke-runs
+the plumbing.)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_DEV = int(os.environ.get("OMG_COLL_DEVICES", "8"))
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + f" --xla_force_host_platform_device_count={N_DEV}").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
+
+_DTYPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
+                "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
+                "f64": 8, "c64": 8, "c128": 16}
+
+_COLL_RE = re.compile(
+    r"=\s*((?:\(.*?\))|(?:[a-z0-9]+\[[0-9,]*\][^ ]*))\s*"
+    r"(all-gather|all-reduce|collective-permute|all-to-all|"
+    r"reduce-scatter)\(")
+
+
+def _shape_bytes(shape_str: str) -> int:
+    """'bf16[2,10,4096,64]{...}' or a tuple of such -> total bytes."""
+    total = 0
+    for m in re.finditer(r"([a-z0-9]+)\[([0-9,]*)\]", shape_str):
+        dt, dims = m.group(1), m.group(2)
+        if dt not in _DTYPE_BYTES:
+            continue
+        n = 1
+        for d in dims.split(","):
+            if d:
+                n *= int(d)
+        total += n * _DTYPE_BYTES[dt]
+    return total
+
+
+def collective_shape_histogram(hlo_text: str, top: int = 12) -> list:
+    """Most frequent (op, shape, bytes) inside loop-body computations —
+    the diagnostic view for WHICH tensors a sharded program moves."""
+    import collections
+    hist = collections.Counter()
+    current = "<module>"
+    for line in hlo_text.splitlines():
+        if ") -> " in line and line.rstrip().endswith("{"):
+            m = re.match(r"\s*(?:ENTRY\s+)?%?([^\s(]+)\s*\(", line)
+            if m:
+                current = m.group(1)
+                continue
+        cm = _COLL_RE.search(line)
+        if cm and ("region_" in current or "body" in current
+                   or "while" in current):
+            hist[(cm.group(2), cm.group(1).split("{")[0])] += 1
+    out = []
+    for (op, shape), n in hist.most_common(top):
+        out.append({"op": op, "shape": shape, "count": n,
+                    "mb_total": round(_shape_bytes(shape) * n / 1e6, 2)})
+    return sorted(out, key=lambda r: -r["mb_total"])
+
+
+def collectives_by_computation(hlo_text: str) -> dict:
+    """{computation_name: {op: {count, bytes}}} from HLO text."""
+    out: dict = {}
+    current = "<module>"
+    for line in hlo_text.splitlines():
+        # computation header: "%name (params...) -> type {" / "ENTRY ..."
+        if ") -> " in line and line.rstrip().endswith("{"):
+            m = re.match(r"\s*(?:ENTRY\s+)?%?([^\s(]+)\s*\(", line)
+            if m:
+                current = m.group(1)
+                continue
+        cm = _COLL_RE.search(line)
+        if cm:
+            shape, op = cm.group(1), cm.group(2)
+            rec = out.setdefault(current, {}).setdefault(
+                op, {"count": 0, "bytes": 0})
+            rec["count"] += 1
+            rec["bytes"] += _shape_bytes(shape)
+    return out
+
+
+def step_body_totals(per_comp: dict) -> dict:
+    """Collectives inside while-loop bodies (the per-step cost) and
+    outside (per-call prologue/epilogue)."""
+    body = {"count": 0, "bytes": 0, "by_op": {}}
+    other = {"count": 0, "bytes": 0, "by_op": {}}
+    for comp, ops in per_comp.items():
+        # XLA names loop-body computations "region_N" (CPU SPMD:
+        # "wide.region_0...._spmd..."); "body"/"while" cover other
+        # spellings
+        is_body = ("region_" in comp or "body" in comp
+                   or "while" in comp)
+        tgt = body if is_body else other
+        for op, rec in ops.items():
+            tgt["count"] += rec["count"]
+            tgt["bytes"] += rec["bytes"]
+            agg = tgt["by_op"].setdefault(op, {"count": 0, "bytes": 0})
+            agg["count"] += rec["count"]
+            agg["bytes"] += rec["bytes"]
+    return {"step_body": body, "outside_body": other}
+
+
+def _sds(tree, sharding):
+    return jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),
+        tree)
+
+
+def main():
+    from omg_tpu.control import p2p
+    from omg_tpu.diffusion import schedulers
+    from omg_tpu.models import unet as unet_lib
+    from omg_tpu.parallel import mesh as mesh_lib
+    from omg_tpu.pipelines import multiconcept, sdxl
+
+    size = os.environ.get("OMG_COLL_SIZE", "sdxl")
+    if size == "tiny":
+        cfg, H, W = sdxl.tiny_config(), 64, 64
+    else:
+        cfg, H, W = sdxl.sdxl_config(), 1024, 1024
+    h, w = H // 8, W // 8
+    dt = cfg.unet.dtype
+    d = cfg.unet.cross_attention_dim
+    pdim = cfg.text_encoder_2.projection_dim
+    sched = schedulers.make_schedule("euler", 50 if size != "tiny" else 4)
+    S = sched.num_steps
+
+    params_sds = jax.eval_shape(
+        lambda k: unet_lib.init_params(k, cfg.unet), jax.random.PRNGKey(0))
+
+    report = {"devices": N_DEV, "size": size, "height": H, "width": W}
+
+    only = os.environ.get("OMG_COLL_ONLY", "")
+    # ---- stage 1: spatial (lane x seq) = (2 x N/2) -------------------
+    sp_mesh = mesh_lib.make_mesh(N_DEV, data=2, model=N_DEV // 2)
+    rep1 = NamedSharding(sp_mesh, P())
+    spatial = NamedSharding(sp_mesh,
+                            P(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS))
+    base_sds = multiconcept.BaseInputs(
+        jax.ShapeDtypeStruct((4, 77, d), dt, sharding=rep1),
+        jax.ShapeDtypeStruct((4, pdim), dt, sharding=rep1),
+        jax.ShapeDtypeStruct((4, 6), jnp.float32, sharding=rep1),
+        jax.ShapeDtypeStruct((), jnp.float32, sharding=rep1))
+    lat_sds = jax.ShapeDtypeStruct((1, h, w, 4), dt, sharding=rep1)
+    st_sds = schedulers.SchedulerState(
+        jax.ShapeDtypeStruct((1, h, w, 4), jnp.float32, sharding=rep1),
+        jax.ShapeDtypeStruct((), jnp.int32, sharding=rep1),
+        jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep1))
+    # i1=2: a 1-iteration fori_loop gets unrolled (no while body, so
+    # per-step collectives cannot be told apart from the prologue)
+    if only in ("", "stage1"):
+        print("compiling stage-1 spatial program (2 steps)...", flush=True)
+        c1 = multiconcept._denoise_cfg_range.lower(
+            cfg, sched, _sds(params_sds, rep1), lat_sds, st_sds,
+            base_sds, i0=0, i1=2, spatial_sharding=spatial).compile()
+        per1 = collectives_by_computation(c1.as_text())
+        report["stage1_spatial"] = step_body_totals(per1)
+        report["stage1_spatial"]["shape_histogram"] = \
+            collective_shape_histogram(c1.as_text())
+        print(json.dumps(report["stage1_spatial"], indent=2), flush=True)
+
+    # ---- stage 2: lane-parallel 4+2K with the P2P controller ---------
+    flat = mesh_lib.make_mesh(N_DEV, data=N_DEV, model=1)
+    rep2 = NamedSharding(flat, P())
+    lane = NamedSharding(flat, P(mesh_lib.DATA_AXIS))
+    K = 2
+    concept_sds = multiconcept.ConceptInputs(
+        jax.ShapeDtypeStruct((2, 77, d), dt, sharding=rep2),
+        jax.ShapeDtypeStruct((2, pdim), dt, sharding=rep2),
+        jax.ShapeDtypeStruct((2, 6), jnp.float32, sharding=rep2), None)
+    base2_sds = jax.tree.map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep2),
+        base_sds)
+    lat2_sds = jax.ShapeDtypeStruct((2, h, w, 4), dt, sharding=rep2)
+    st2_sds = schedulers.SchedulerState(
+        jax.ShapeDtypeStruct((2, h, w, 4), jnp.float32, sharding=rep2),
+        jax.ShapeDtypeStruct((), jnp.int32, sharding=rep2),
+        jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep2))
+    masks_sds = jax.ShapeDtypeStruct((K, h, w), jnp.float32, sharding=rep2)
+    ctl = p2p.P2PControl.build(["x", "x"], S, self_replace_steps=0.4,
+                               width=W // 32, height=H // 32)
+    ctl_sds = jax.tree.map(
+        lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep2)
+                   if hasattr(x, "shape") else x), ctl)
+    if only not in ("", "stage2"):
+        path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "v5e8_collectives.json")
+        with open(path, "w") as f:
+            json.dump(report, f, indent=2)
+        print(f"wrote {path} (stage1 only)")
+        return
+    print("compiling stage-2 lane program (2 steps)...", flush=True)
+    c2 = multiconcept._denoise_mc_range.lower(
+        cfg, sched, _sds(params_sds, rep2), lat2_sds, st2_sds, base2_sds,
+        ctl_sds, (concept_sds,) * K, (None,) * K, masks_sds,
+        i0=S - 2, fusion_start=S - 3, lane_sharding=lane).compile()
+    per2 = collectives_by_computation(c2.as_text())
+    report["stage2_lane"] = step_body_totals(per2)
+    report["stage2_lane"]["shape_histogram"] = \
+        collective_shape_histogram(c2.as_text())
+    print(json.dumps(report["stage2_lane"], indent=2), flush=True)
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "v5e8_collectives.json")
+    if only == "stage2" and os.path.exists(path):
+        with open(path) as f:
+            prev = json.load(f)
+        prev.update({k: v for k, v in report.items()
+                     if k != "stage1_spatial" or "stage1_spatial" in report})
+        report = {**prev, **{k: report[k] for k in report
+                             if k in ("stage2_lane",)}}
+    with open(path, "w") as f:
+        json.dump(report, f, indent=2)
+    print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
