@@ -204,7 +204,14 @@ class OMGServer:
             w = int(job.get("width", 1024))
             if min(h, w) >= 512:
                 h, w = conditions.snap_resolution(h, w)
-            return h, w, int(job.get("steps", 0))
+            # scheduler is part of the compiled-program key: LCM few-step
+            # requests batch with each other, never with euler ones.
+            # Condition kind too — each kind is its own ControlNet weight
+            # tree, and generate_batch requires one shared tree.
+            return (h, w, int(job.get("steps", 0)),
+                    str(job.get("scheduler", "")),
+                    str(job.get("condition", "")
+                        if job.get("condition_image") else ""))
         except Exception:
             # malformed job: unique bucket -> never batched; the error
             # surfaces from _generate with a real message instead of
@@ -212,10 +219,11 @@ class OMGServer:
             return object()
 
     def _batchable(self, job: dict) -> bool:
-        # InstantID and spatial-condition jobs run solo (generate_batch
-        # covers the LoRA path, incl. prompt_rewrite requests)
-        return not (job.get("face_embeddings") or job.get("face_images")
-                    or job.get("face_kps") or job.get("condition_image"))
+        # InstantID and spatial-condition jobs batch too (round 3:
+        # generate_batch handles shared-weight face/condition requests;
+        # BASELINE config #5's full batched half). Guess-mode jobs run
+        # solo (a different compiled program shape).
+        return not job.get("guess_mode")
 
     def _run_worker(self):
         # items stashed by the drain (incompatible with the batch being
@@ -424,11 +432,18 @@ class OMGServer:
                     job.get("control_guidance_end", 1.0)),
                 controlnet_guess_mode=bool(job.get("guess_mode", False)))
 
+        sched_kwargs = {}
+        if job.get("scheduler"):
+            allowed = ("euler", "ddim", "dpmpp_2m", "lcm")
+            if job["scheduler"] not in allowed:
+                raise ValueError(f"unknown scheduler {job['scheduler']!r} "
+                                 f"(one of {allowed})")
+            sched_kwargs["scheduler"] = job["scheduler"]
         return dict(
             prompt=job["prompt"],
             negative_prompt=job.get("negative_prompt",
                                     "noisy, blurry, soft, deformed, ugly"),
-            **cn_kwargs,
+            **cn_kwargs, **sched_kwargs,
             prompt_rewrite=rewrite, concept_loras=concept_loras,
             style_lora=style, seed=int(job.get("seed", 42)),
             height=height, width=width,

@@ -386,3 +386,99 @@ def test_generate_instantid_stage1_kps_provider(engine):
     assert res_none.stage2 is not None
     # the kps condition changed the output vs the unconditioned run
     assert not np.array_equal(res.stage2, res_none.stage2)
+
+
+def test_generate_per_request_scheduler_override(engine):
+    """generate(scheduler=...) overrides the engine default — the
+    serving path for LCM few-step requests on an euler server."""
+    eng, calls = engine
+    kw = dict(prompt_rewrite="", seed=5, height=H, width=W)
+    a = eng.generate("a hill", **kw)                      # euler default
+    # NOTE: ddim(eta=0) == euler on the same grid (same integrator in a
+    # different parameterization) — use the genuinely second-order
+    # DPM++2M to observe the override.
+    b = eng.generate("a hill", scheduler="dpmpp_2m", **kw)
+    assert np.isfinite(b.image.astype(np.float32)).all()
+    assert not np.array_equal(a.stage1, b.stage1)
+
+
+def test_generate_batch_rejects_mixed_schedulers(engine):
+    eng, calls = engine
+    reqs = [{"prompt": "a hill", "seed": 1, "height": H, "width": W,
+             "prompt_rewrite": "[a]-*-[b]|[c]-*-[d]"},
+            {"prompt": "a hill", "seed": 2, "height": H, "width": W,
+             "scheduler": "ddim",
+             "prompt_rewrite": "[a]-*-[b]|[c]-*-[d]"}]
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="scheduler"):
+        eng.generate_batch(reqs)
+
+
+def test_generate_batch_matches_serial_instantid_controlnet(engine):
+    """Round-3 batched serving (BASELINE config #5's full batched half):
+    one InstantID request and one spatial-ControlNet request batched as
+    one vmapped program per stage must reproduce the serial results —
+    including the zero-token IP / zero-scale ControlNet no-op rows the
+    mixed batch synthesizes."""
+    import jax.numpy as jnp
+    import jax.tree_util as jtu
+    from omg_tpu import config as cfglib
+    from omg_tpu import instantid
+    from omg_tpu.models import controlnet as cn_lib
+    from omg_tpu.models import resampler as rs_lib
+    from omg_tpu.models import unet as unet_lib
+    from omg_tpu.nn.attention import init_ip_kv
+
+    eng, _ = engine
+    rs_cfg = cfglib.tiny_resampler()
+    rs_params = rs_lib.init_params(jax.random.PRNGKey(1), rs_cfg)
+    n_layers = unet_lib.num_cross_attention_layers(eng.cfg.unet)
+    ip_layers = [init_ip_kv(jax.random.PRNGKey(10 + i),
+                            eng.cfg.unet.cross_attention_dim, 64)
+                 for i in range(n_layers)]
+    cn_cfg = cfglib.tiny_controlnet()
+    idnet = cn_lib.init_params(jax.random.PRNGKey(2), cn_cfg)
+    iid = omg_lib.InstantIDModels(
+        resampler_cfg=rs_cfg, resampler_params=rs_params,
+        ip_adapter_layers=ip_layers, identitynet_params=idnet,
+        identitynet_cfg=cn_cfg)
+    cn_params = cn_lib.init_params(jax.random.PRNGKey(3), cn_cfg)
+    cn_params = jtu.tree_map(
+        lambda x: jnp.ones_like(x) * 0.02 if x.ndim == 4 else x, cn_params)
+    eng2 = omg_lib.OMG(cfg=eng.cfg, params=eng.params,
+                       tokenizer=eng.tokenizer, tokenizer_2=eng.tokenizer_2,
+                       mask_provider=eng.mask_provider, num_steps=4,
+                       cn_cfg=cn_cfg)
+
+    kps = [np.array([[10, 12], [22, 12], [16, 18], [12, 24], [20, 24]],
+                    np.float32)]
+    kps_img = instantid.draw_kps(H, W, kps)
+    rng = np.random.default_rng(0)
+    embeds = [rng.standard_normal(16).astype(np.float32),
+              rng.standard_normal(16).astype(np.float32)]
+    cond = (rng.random((H, W, 3)) * 255).astype(np.uint8)
+
+    reqs = [
+        dict(prompt="the man and the woman", negative_prompt="bad",
+             prompt_rewrite="[the man]-*-[b]|[the woman]-*-[b]",
+             seed=3, height=H, width=W, guidance_scale=3.0,
+             instantid=iid, face_embeddings=embeds,
+             face_kps_image=kps_img),
+        dict(prompt="the man and the woman at night",
+             negative_prompt="ugly",
+             prompt_rewrite="[the man]-*-[b]|[the woman]-*-[b]",
+             seed=9, height=H, width=W, guidance_scale=7.5,
+             spatial_condition=cond, controlnet_params=cn_params,
+             controlnet_scale=0.8, control_guidance_start=0.1,
+             control_guidance_end=0.9),
+    ]
+    batched = eng2.generate_batch([dict(r) for r in reqs])
+    serial = [eng2.generate(r.pop("prompt"), **r)
+              for r in [dict(x) for x in reqs]]
+    assert len(batched) == 2
+    for b, s in zip(batched, serial):
+        np.testing.assert_allclose(b.stage1.astype(np.int32),
+                                   s.stage1.astype(np.int32), atol=1)
+        assert b.stage2 is not None and s.stage2 is not None
+        np.testing.assert_allclose(b.stage2.astype(np.int32),
+                                   s.stage2.astype(np.int32), atol=1)

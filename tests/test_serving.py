@@ -431,3 +431,36 @@ def test_server_strips_private_job_keys(server):
         out = json.loads(r.read())
     assert "image" in out
     assert "condition" not in out
+
+
+def test_bucket_keys_on_scheduler():
+    """LCM few-step requests must never share a vmapped program with
+    euler requests (VERDICT round-2 item 5: bucket by scheduler)."""
+    from omg_tpu.serving.server import OMGServer
+    base = {"height": 1024, "width": 1024, "steps": 8}
+    a = OMGServer._bucket(dict(base))
+    b = OMGServer._bucket(dict(base, scheduler="lcm"))
+    c = OMGServer._bucket(dict(base, scheduler="lcm"))
+    assert a != b
+    assert b == c
+
+
+def test_job_scheduler_validation_and_passthrough():
+    from omg_tpu.serving.server import OMGServer
+
+    class _Eng:
+        pass
+
+    srv = OMGServer.__new__(OMGServer)
+    srv.registry = __import__(
+        "omg_tpu.serving.registry", fromlist=["Registry"]).Registry()
+    srv.loras = {}
+    srv.instantid = None
+    srv.controlnets = {}
+    req = srv._job_to_request({"prompt": "x", "scheduler": "lcm"})
+    assert req["scheduler"] == "lcm"
+    try:
+        srv._job_to_request({"prompt": "x", "scheduler": "nope"})
+        assert False, "bad scheduler accepted"
+    except ValueError:
+        pass
