@@ -309,3 +309,76 @@ class P2PStepControl:
         t1 = sdpa_fn(q[s:s + 1], k[s:s + 1], va[None])
         t2 = sdpa_fn(q[d:d + 1], k[d:d + 1], vb[None])
         return out.at[d].set((t1 + t2)[0])
+
+    # -- explicit lane-sharded variants (multi-chip latency mode) --------
+    #
+    # Under a one-lane-per-chip sharding, GSPMD's generic lowering of
+    # the row edits above moves ~6 full q-sized tensors per controlled
+    # layer (measured from the compiled 8-device HLO: 3.8 GB/step).
+    # The edits only NEED the src lane's q (and tiny cross-attn k) on
+    # the dst chip, so these shard_map forms ppermute exactly those rows
+    # and compute the edit locally on the dst chip — same math,
+    # ~220 MB/step.
+
+    def _lane_mesh_ok(self, mesh, axis, batch: int) -> bool:
+        from omg_tpu.ops.flash_attention import _axis_size
+        return _axis_size(mesh, axis) == batch   # one lane per chip
+
+    def self_lane_qk_sharded(self, q: Array, k: Array, mesh, axis) -> tuple:
+        """self_lane_qk with explicit ppermutes, window under lax.cond
+        (outside the replace window NO communication happens at runtime
+        — the generic form moved the rows on every step)."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        ctl = self.ctl
+        s, d = self.src_lane, self.dst_lane
+        win = jnp.logical_and(ctl.self_start <= self.step,
+                              self.step < ctl.self_end)
+        spec = P(axis)
+
+        def fn(win_, q_l, k_l):
+            def sub(args):
+                q_, k_ = args
+                idx = jax.lax.axis_index(axis)
+                q_s = jax.lax.ppermute(q_, axis, [(s, d)])
+                k_s = jax.lax.ppermute(k_, axis, [(s, d)])
+                keep = (idx != d)[None, None, None, None]
+                return (jnp.where(keep, q_, q_s),
+                        jnp.where(keep, k_, k_s))
+
+            return jax.lax.cond(win_, sub, lambda a: a, (q_l, k_l))
+
+        return shard_map(fn, mesh=mesh,
+                         in_specs=(P(), spec, spec),
+                         out_specs=(spec, spec), check_rep=False)(win, q, k)
+
+    def cross_lane_out_sharded(self, out: Array, q: Array, k: Array,
+                               v: Array, sdpa_fn, mesh, axis) -> Array:
+        """cross_lane_out with explicit ppermutes of the src lane's q/k;
+        the two-term edit computes on every chip (b=1, cheap) and only
+        the dst chip keeps it."""
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+        ctl = self.ctl
+        s, d = self.src_lane, self.dst_lane
+        nk = k.shape[2]
+        alpha = jax.lax.dynamic_index_in_dim(
+            ctl.cross_alpha, self.step, keepdims=False)[:nk]
+        alpha = alpha.astype(v.dtype)[None, :, None]          # [1, Nk, 1]
+        mapper = ctl.mapper[:nk, :nk].astype(v.dtype)
+        spec = P(axis)
+
+        def fn(out_l, q_l, k_l, v_l):
+            idx = jax.lax.axis_index(axis)
+            q_s = jax.lax.ppermute(q_l, axis, [(s, d)])
+            k_s = jax.lax.ppermute(k_l, axis, [(s, d)])
+            va = jnp.einsum("bhnd,wn->bhwd", v_l * alpha[None], mapper)
+            vb = v_l * (1.0 - alpha)[None]
+            t1 = sdpa_fn(q_s, k_s, va)
+            t2 = sdpa_fn(q_l, k_l, vb)
+            keep = (idx != d)[None, None, None, None]
+            return jnp.where(keep, out_l, t1 + t2)
+
+        return shard_map(fn, mesh=mesh,
+                         in_specs=(spec, spec, spec, spec),
+                         out_specs=spec, check_rep=False)(out, q, k, v)

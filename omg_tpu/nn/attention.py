@@ -239,8 +239,20 @@ def mha(p: Params, x: Array, *, num_heads: int,
 
     p2p_active = p2p is not None and p2p.wants(is_cross=is_cross,
                                               num_queries=x.shape[1])
+    # one-lane-per-chip latency mode: route the P2P row edits through
+    # the explicit shard_map forms (ppermute exactly the src rows) —
+    # GSPMD's generic lowering of the .at[lane].set edits moved ~6 full
+    # q-sized tensors per controlled layer (measured, 3.8 GB/step)
+    from omg_tpu.ops import flash_attention as _fa
+    _lane = _fa.lane_context()
+    lane_shard_p2p = (
+        p2p_active and _lane is not None
+        and p2p._lane_mesh_ok(_lane[0], _lane[1], x.shape[0]))
     if p2p_active and not is_cross:
-        qh, kh = p2p.self_lane_qk(qh, kh)
+        if lane_shard_p2p:
+            qh, kh = p2p.self_lane_qk_sharded(qh, kh, _lane[0], _lane[1])
+        else:
+            qh, kh = p2p.self_lane_qk(qh, kh)
 
     if probs_transform is not None:
         out = sdpa_with_probs(qh, kh, vh, probs_transform=probs_transform,
@@ -249,8 +261,13 @@ def mha(p: Params, x: Array, *, num_heads: int,
         out = sdpa(qh, kh, vh, mask=mask)
 
     if p2p_active and is_cross:
-        out = p2p.cross_lane_out(out, qh, kh, vh,
-                                 lambda q_, k_, v_: sdpa(q_, k_, v_))
+        if lane_shard_p2p:
+            out = p2p.cross_lane_out_sharded(
+                out, qh, kh, vh, lambda q_, k_, v_: sdpa(q_, k_, v_),
+                _lane[0], _lane[1])
+        else:
+            out = p2p.cross_lane_out(out, qh, kh, vh,
+                                     lambda q_, k_, v_: sdpa(q_, k_, v_))
 
     if ip is not None and ip_context is not None:
         def ipla(name):

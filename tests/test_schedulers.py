@@ -131,7 +131,10 @@ def test_lcm_schedule_and_step():
     sched = schedulers.make_schedule("lcm", 4)
     ts = np.asarray(sched.timesteps)
     assert len(ts) == 4 and (np.diff(ts) < 0).all()
-    assert ts[0] == 999 and ts[-1] == 19  # origin grid: k*20-1
+    # diffusers skipping-step selection on the origin grid (k*20-1):
+    # counts back from 999 by len(grid)//steps = 12 -> 999,759,519,279
+    # (torch-parity-tested in test_scheduler_torch_parity.py)
+    np.testing.assert_array_equal(ts, [999, 759, 519, 279])
 
     x0 = jax.random.normal(jax.random.PRNGKey(0), (1, 4, 4, 4))
     noise = jax.random.normal(jax.random.PRNGKey(1), x0.shape)
