@@ -236,7 +236,7 @@ def test_validate_image_body_runs_on_synthetic_detector():
                             crop_size=16)
     img = _two_blob_image()
     rec = validate_image(det, img, ["red", "blue", "green"],
-                         sweep=[0.1, 0.3, 0.9])
+                         sweep=[0.1, 0.3, 0.99])
     assert rec["n_proposals"] == 2
     assert rec["per_class"]["red"] is not None
     assert rec["per_class"]["blue"] is not None
@@ -244,7 +244,8 @@ def test_validate_image_body_runs_on_synthetic_detector():
     assert rec["per_class"]["red"]["similarity"] > 0.3
     assert "red|blue" in rec["cross_class_box_iou"]
     assert not rec.get("overlap_violation")
-    # a very high threshold detects nothing; a low one detects both
-    assert rec["sim_thresh_sweep"]["0.9"]["red"] is False
+    # a very high threshold detects nothing (the stub embedder's
+    # red-crop similarity is ~0.93); a low one detects both
+    assert rec["sim_thresh_sweep"]["0.99"]["red"] is False
     assert rec["sim_thresh_sweep"]["0.1"]["red"] is True
     assert det.sim_thresh == 0.3   # restored after the sweep
