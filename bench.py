@@ -437,6 +437,11 @@ def main():
                              else "none"),
             "v5e8_projection_s": v5e8_proj,
             "v5e8_projection_note": v5e8_note,
+            # approximate-mode drift vs this run's exact latents (same
+            # weights/seed; "measured": "live" = computed this run,
+            # "cached" = from tools/drift_measured.json)
+            "crop_drift": crop_drift,
+            "int8_drift": int8_drift,
             "size": size, "steps": steps,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),

@@ -79,6 +79,7 @@ img{max-width:100%;border:1px solid #ddd;margin:.3em 0}
 </fieldset>
 <fieldset><legend>Generation</legend>
 <label>Resolution <select id=resolution></select></label>
+<label>Scheduler <select id=scheduler></select></label>
 <label>Seed <input id=seed type=number value=42 style=width:6em></label>
 <label>Steps <input id=steps type=number value=50 style=width:5em></label>
 <label>CFG <input id=cfg type=number step=0.5 value=7.5
@@ -115,6 +116,9 @@ async function init() {
   fill($('style'), caps.styles);
   for (const [h, w] of caps.resolutions || [[1024, 1024]])
     $('resolution').append(new Option(`${w} x ${h}`, `${h},${w}`));
+  $('scheduler').append(new Option('(default)', ''));
+  for (const s of caps.schedulers || [])
+    $('scheduler').append(new Option(s, s));
   for (const c of caps.conditions || []) {
     $('condition').append(new Option(c, c));
     $('condbox').hidden = false;
@@ -133,6 +137,7 @@ $('go').onclick = async () => {
     style: $('style').value, seed: num('seed', 42), steps: num('steps', 50),
     guidance_scale: num('cfg', 7.5), height: h, width: w};
   if ($('rewrite').value.trim()) job.prompt_rewrite = $('rewrite').value.trim();
+  if ($('scheduler').value) job.scheduler = $('scheduler').value;
   if ($('condition').value !== 'none' && $('condimg').files[0]) {
     job.condition = $('condition').value;
     job.condition_image = await b64($('condimg').files[0]);
@@ -518,6 +523,10 @@ class OMGServer:
                         "conditions": sorted(server.controlnets),
                         "instantid": server.instantid is not None,
                         "resolutions": conditions.RESOLUTIONS,
+                        # per-request scheduler override (LCM few-step
+                        # requests batch among themselves)
+                        "schedulers": ["euler", "ddim", "dpmpp_2m",
+                                       "lcm"],
                     }))
                 elif self.path == "/metrics":
                     self._send(200, json.dumps(METRICS.summary()))
