@@ -17,6 +17,10 @@ weights so it runs anywhere:
 """
 
 import os
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 if "xla_force_host_platform_device_count" not in os.environ.get(
         "XLA_FLAGS", ""):
