@@ -380,7 +380,21 @@ class OMG:
         return GenerationResult(stage1=img1, stage2=img2, masks=masks)
 
     def _decode(self, latents: Array) -> np.ndarray:
-        img = sdxl.decode_latents(self.cfg, self.params.vae, latents)
+        sharding = None
+        if self.mesh is not None:
+            # mesh latency mode: spatially-sharded decode (H axis over
+            # all chips; convs + the one bottleneck attention are
+            # token-parallel with replicated weights)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from omg_tpu.parallel import mesh as mesh_lib
+            _, lane_sharding, _ = self._mesh_placements()
+            n = len(self.mesh.devices.reshape(-1))
+            if latents.shape[1] % n == 0:   # H must split over the chips
+                sharding = NamedSharding(lane_sharding.mesh,
+                                         P(None, mesh_lib.DATA_AXIS))
+        img = sdxl.decode_latents(self.cfg, self.params.vae, latents,
+                                  spatial_sharding=sharding)
         return np.asarray(
             (img * 255).astype(jnp.uint8))
 

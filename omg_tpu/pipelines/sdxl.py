@@ -131,9 +131,10 @@ def denoise(cfg: SDXLConfig, sched: schedulers.Schedule,
     return sampling.denoise_loop(sched, model_fn, latents)
 
 
-@functools.partial(jax.jit, static_argnums=(0,), static_argnames=("dtype",))
+@functools.partial(jax.jit, static_argnums=(0,),
+                   static_argnames=("dtype", "spatial_sharding"))
 def decode_latents(cfg: SDXLConfig, vae_params: dict, latents: Array, *,
-                   dtype=jnp.float32) -> Array:
+                   dtype=jnp.float32, spatial_sharding=None) -> Array:
     """Latents -> images in [0, 1].
 
     fp32 by default (the reference upcasts the VAE for decode,
@@ -141,10 +142,22 @@ def decode_latents(cfg: SDXLConfig, vae_params: dict, latents: Array, *,
     traffic (~433 ms vs ~470-580 ms per b=2 1024² decode on one v5e) for
     serving/throughput paths where the <1 LSB-of-uint8 pixel delta is
     acceptable.
+
+    ``spatial_sharding``: a NamedSharding over [B, H, W, C] (e.g.
+    P(None, axis)) — multi-chip decode: the VAE is convs + one
+    bottleneck attention, so sharding the H axis makes it
+    token-parallel with replicated weights (GSPMD inserts the conv
+    halos, norm-stat psums, and the one attention K/V gather). Used by
+    the engine's mesh latency mode.
     """
     if dtype != jnp.float32:
         vae_params = jax.tree.map(lambda x: x.astype(dtype), vae_params)
+    if spatial_sharding is not None:
+        latents = jax.lax.with_sharding_constraint(latents,
+                                                   spatial_sharding)
     img = vae.decode(vae_params, cfg.vae, latents.astype(dtype))
+    if spatial_sharding is not None:
+        img = jax.lax.with_sharding_constraint(img, spatial_sharding)
     return jnp.clip(img.astype(jnp.float32) / 2 + 0.5, 0.0, 1.0)
 
 

@@ -214,33 +214,67 @@ def main():
     ctl_sds = jax.tree.map(
         lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep2)
                    if hasattr(x, "shape") else x), ctl)
-    if only not in ("", "stage2"):
+    if only == "stage1":
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "v5e8_collectives.json")
         with open(path, "w") as f:
             json.dump(report, f, indent=2)
         print(f"wrote {path} (stage1 only)")
         return
-    print("compiling stage-2 lane program (2 steps)...", flush=True)
-    c2 = multiconcept._denoise_mc_range.lower(
-        cfg, sched, _sds(params_sds, rep2), lat2_sds, st2_sds, base2_sds,
-        ctl_sds, (concept_sds,) * K, (None,) * K, masks_sds,
-        i0=S - 2, fusion_start=S - 3, lane_sharding=lane).compile()
-    per2 = collectives_by_computation(c2.as_text())
-    report["stage2_lane"] = step_body_totals(per2)
-    report["stage2_lane"]["shape_histogram"] = \
-        collective_shape_histogram(c2.as_text())
-    print(json.dumps(report["stage2_lane"], indent=2), flush=True)
+    if only in ("", "stage2"):
+        print("compiling stage-2 lane program (2 steps)...", flush=True)
+        c2 = multiconcept._denoise_mc_range.lower(
+            cfg, sched, _sds(params_sds, rep2), lat2_sds, st2_sds, base2_sds,
+            ctl_sds, (concept_sds,) * K, (None,) * K, masks_sds,
+            i0=S - 2, fusion_start=S - 3, lane_sharding=lane).compile()
+        per2 = collectives_by_computation(c2.as_text())
+        report["stage2_lane"] = step_body_totals(per2)
+        report["stage2_lane"]["shape_histogram"] = \
+            collective_shape_histogram(c2.as_text())
+        print(json.dumps(report["stage2_lane"], indent=2), flush=True)
+
+    # ---- VAE decode: spatial (H over all chips), runs once ----------
+    if only in ("", "vae"):
+        from omg_tpu.pipelines import sdxl as sdxl_lib
+        vae_sds = jax.eval_shape(
+            lambda k: __import__("omg_tpu.models.vae",
+                                 fromlist=["vae"]).init_params(
+                k, cfg.vae), jax.random.PRNGKey(1))
+        dec_sharding = NamedSharding(flat, P(None, mesh_lib.DATA_AXIS))
+        lat_dec = jax.ShapeDtypeStruct((2, h, w, 4), jnp.float32,
+                                       sharding=rep2)
+        print("compiling spatial VAE decode...", flush=True)
+        c3 = sdxl_lib.decode_latents.lower(
+            cfg, _sds(vae_sds, rep2), lat_dec,
+            spatial_sharding=dec_sharding).compile()
+        per3 = collectives_by_computation(c3.as_text())
+        # no loop: every collective runs once per decode
+        tot = {"count": 0, "bytes": 0, "by_op": {}}
+        for ops in per3.values():
+            for op, rec in ops.items():
+                tot["count"] += rec["count"]
+                tot["bytes"] += rec["bytes"]
+                agg = tot["by_op"].setdefault(op, {"count": 0, "bytes": 0})
+                agg["count"] += rec["count"]
+                agg["bytes"] += rec["bytes"]
+        report["vae_spatial"] = {"per_decode": tot}
+        print(json.dumps(report["vae_spatial"], indent=2), flush=True)
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "v5e8_collectives.json")
-    if only == "stage2" and os.path.exists(path):
+    if size == "tiny" and os.path.exists(path):
+        try:
+            with open(path) as f:
+                if json.load(f).get("size") == "sdxl":
+                    # never clobber projection-grade data with a smoke run
+                    path = path.replace(".json", ".tiny.json")
+        except Exception:
+            pass
+    if only in ("stage2", "vae") and os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        prev.update({k: v for k, v in report.items()
-                     if k != "stage1_spatial" or "stage1_spatial" in report})
         report = {**prev, **{k: report[k] for k in report
-                             if k in ("stage2_lane",)}}
+                             if k in ("stage2_lane", "vae_spatial")}}
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {path}")

@@ -81,7 +81,19 @@ def project(probe: dict, colls: dict, ici: float = ICI_BYTES_PER_S) -> dict:
     s2_step = probe["s2_chip_lane_ms"] + s2_coll
     stage2_s = (STEPS - FUSION_START - 1) * s2_step / 1e3
 
-    total = stage1_s + stage2_s + VAE_S + SAM_MASKS_S
+    # VAE decode: spatially sharded when measured (per-chip H-slab
+    # proxy + bottleneck-attention full-KV delta + HLO collectives),
+    # else the unsharded single-chip measurement
+    vae_s = VAE_S
+    vae_coll = 0.0
+    if "vae_chip_slab_ms" in probe and "vae_spatial" in colls:
+        vae_attn = max(0.0, probe["vae_attn_full_ms"]
+                       - probe["vae_attn_local_ms"])
+        vae_coll = collective_ms(colls["vae_spatial"]["per_decode"],
+                                 p=colls["devices"], ici=ici)
+        vae_s = (probe["vae_chip_slab_ms"] + vae_attn + vae_coll) / 1e3
+
+    total = stage1_s + stage2_s + vae_s + SAM_MASKS_S
     return {
         "v5e8_projection_s": round(total, 2),
         "stage1_s": round(stage1_s, 3),
@@ -91,7 +103,8 @@ def project(probe: dict, colls: dict, ici: float = ICI_BYTES_PER_S) -> dict:
         "stage1_collective_ms": round(s1_coll, 3),
         "stage2_collective_ms": round(s2_coll, 3),
         "attn_full_kv_correction_ms": round(attn_corr, 3),
-        "vae_s": VAE_S,
+        "vae_s": round(vae_s, 3),
+        "vae_collective_ms": round(vae_coll, 3),
         "sam_masks_s": SAM_MASKS_S,
     }
 

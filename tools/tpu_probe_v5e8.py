@@ -139,6 +139,39 @@ def main():
     out["attn_layers_640"] = 10   # 64x64-level self-attn layers/step
     out["attn_layers_1280"] = 60  # 32x32-level self-attn layers/step
 
+    # --- VAE decode: full frame + per-chip H-slab (8-way spatial) -----
+    from omg_tpu.models import vae as vae_lib
+    from omg_tpu.pipelines import sdxl as sdxl_lib
+    vae_params = vae_lib.init_params(jax.random.PRNGKey(1), cfg.vae)
+
+    def vae_ms(b, h, w, tag):
+        lat = jax.random.normal(key, (b, h, w, 4), jnp.float32)
+
+        def dec(lat, vp):
+            return sdxl_lib.decode_latents.__wrapped__(cfg, vp, lat)
+
+        ms, c = timeit(dec, lat, vae_params)
+        out[tag] = round(ms, 3)
+        print(f"{tag}: {ms:.2f} ms (compile {c:.0f}s)", flush=True)
+
+    vae_ms(2, 128, 128, "vae_full_ms")
+    vae_ms(2, 16, 128, "vae_chip_slab_ms")
+    # bottleneck-attention correction: the sharded decode's one
+    # attention runs local-q (2048 tokens) x FULL 16384-token K/V;
+    # the slab proxy ran local x local
+    for tag, nq, nk in (("vae_attn_local", 2048, 2048),
+                        ("vae_attn_full", 2048, 16384)):
+        q = jax.random.normal(key, (2, 1, nq, 512), jnp.float32)
+        kkv = jax.random.normal(key, (2, 1, nk, 512), jnp.float32)
+
+        def att(q, k):
+            from omg_tpu.nn.attention import sdpa
+            return sdpa(q, k, k)
+
+        ms, c = timeit(att, q, kkv)
+        out[tag + "_ms"] = round(ms, 4)
+        print(f"{tag}: {ms:.3f} ms (compile {c:.0f}s)", flush=True)
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "v5e8_probe.json")
     with open(path, "w") as f:
