@@ -135,6 +135,11 @@ def main():
                        depth_provider=depth_provider)
     if args.warmup:
         from omg_tpu.serving.warmup import default_serving_warmup
+        if mesh is not None:
+            print("warmup note: --mesh engines compile the SHARDED "
+                  "programs on first request (warmup covers the "
+                  "single-chip jit keys); expect one cold compile per "
+                  "(resolution, concept-count) under the mesh layout")
         # shapes come from the engine's REAL trees (packed layout,
         # post-quantize) and a registry LoRA so the warmed jit keys are
         # the ones real requests hit

@@ -163,3 +163,68 @@ def test_spatial_stage1_matches_unsharded():
     assert fa.TRACE_STATS["seq_shard_calls"] > 0
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                atol=2e-4)
+
+
+def test_spatial_vae_decode_matches_unsharded():
+    """decode_latents under the spatial H-sharding (the mesh latency
+    mode's decode) == the unsharded decode."""
+    from omg_tpu.models import vae as vae_lib
+    from omg_tpu.pipelines import sdxl
+
+    cfg = sdxl.tiny_config()
+    vae_params = vae_lib.init_params(jax.random.PRNGKey(1), cfg.vae)
+    lat = jax.random.normal(jax.random.PRNGKey(2), (2, 8, 8, 4))
+    mesh = mesh_lib.make_mesh(8, data=8, model=1)
+    sharding = NamedSharding(mesh, P(None, mesh_lib.DATA_AXIS))
+    got = sdxl.decode_latents(cfg, vae_params, lat,
+                              spatial_sharding=sharding)
+    want = sdxl.decode_latents(cfg, vae_params, lat)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=2e-5)
+
+
+def test_lane_sharded_k1_nondivisible_matches_unsharded():
+    """K=1 gives 4+2K = 6 lanes over 8 chips — non-divisible: GSPMD
+    pads, the flash/P2P shard_map fast paths must fall back (their
+    divisibility gates), and the result must still equal the unsharded
+    trajectory-fed program."""
+    from omg_tpu.control import p2p
+    from omg_tpu.diffusion import schedulers
+    from omg_tpu.models import unet as unet_lib
+    from omg_tpu.pipelines import multiconcept, sdxl
+
+    cfg = sdxl.tiny_config()
+    sched = schedulers.make_schedule("euler", 3)
+    d = cfg.unet.cross_attention_dim
+    pdim = cfg.text_encoder_2.projection_dim
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    tids = sdxl.add_time_ids((32, 32), (0, 0), (32, 32))
+    base = multiconcept.make_base_inputs(
+        jax.random.normal(ks[0], (1, 77, d)),
+        jax.random.normal(ks[2], (1, pdim)),
+        jax.random.normal(ks[1], (1, 77, d)),
+        jax.random.normal(ks[3], (1, pdim)), tids, 7.5)
+    concept = multiconcept.make_concept_inputs(
+        jax.random.normal(ks[0], (1, 77, d)),
+        jax.random.normal(ks[2], (1, pdim)),
+        jax.random.normal(ks[1], (1, 77, d)),
+        jax.random.normal(ks[3], (1, pdim)), tids)
+    ctl = p2p.P2PControl.build(["x", "x"], 3, self_replace_steps=0.4,
+                               width=2, height=2)
+    uparams = unet_lib.init_params(jax.random.PRNGKey(0), cfg.unet)
+    m = np.zeros((1, 4, 4), np.float32)
+    m[0, :, :2] = 1.0
+    flat = mesh_lib.make_mesh(8, data=8, model=1)
+    lane = NamedSharding(flat, P(mesh_lib.DATA_AXIS))
+    _, cache = multiconcept.sample_stage1_cached(
+        cfg, sched, uparams, key=jax.random.PRNGKey(3), height=32,
+        width=32, base_inputs=base, fusion_start=1)
+    kwargs = dict(base_inputs=base, controller=ctl,
+                  concept_inputs=[concept], concept_loras=[None],
+                  masks=jnp.asarray(m), fusion_start=1)
+    out_sh = multiconcept.sample_stage2_resumed(
+        cfg, sched, uparams, cache, lane_sharding=lane, **kwargs)
+    out_ref = multiconcept.sample_stage2_resumed(
+        cfg, sched, uparams, cache, **kwargs)
+    np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref),
+                               atol=2e-4)
