@@ -328,7 +328,7 @@ class P2PStepControl:
         """self_lane_qk with explicit ppermutes, window under lax.cond
         (outside the replace window NO communication happens at runtime
         — the generic form moved the rows on every step)."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         ctl = self.ctl
         s, d = self.src_lane, self.dst_lane
@@ -350,14 +350,14 @@ class P2PStepControl:
 
         return shard_map(fn, mesh=mesh,
                          in_specs=(P(), spec, spec),
-                         out_specs=(spec, spec), check_rep=False)(win, q, k)
+                         out_specs=(spec, spec), check_vma=False)(win, q, k)
 
     def cross_lane_out_sharded(self, out: Array, q: Array, k: Array,
                                v: Array, sdpa_fn, mesh, axis) -> Array:
         """cross_lane_out with explicit ppermutes of the src lane's q/k;
         the two-term edit computes on every chip (b=1, cheap) and only
         the dst chip keeps it."""
-        from jax.experimental.shard_map import shard_map
+        from jax import shard_map
         from jax.sharding import PartitionSpec as P
         ctl = self.ctl
         s, d = self.src_lane, self.dst_lane
@@ -381,4 +381,4 @@ class P2PStepControl:
 
         return shard_map(fn, mesh=mesh,
                          in_specs=(spec, spec, spec, spec),
-                         out_specs=spec, check_rep=False)(out, q, k, v)
+                         out_specs=spec, check_vma=False)(out, q, k, v)

@@ -112,7 +112,7 @@ def flash_attention_seq_sharded(q: Array, k: Array, v: Array, *, mesh,
     (and the batch axis over ``lane_axis``): q stays local per chip; K/V
     are all-gathered over the sequence shards — exact, no cross-chip
     softmax (the online-softmax runs per query block as usual)."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     TRACE_STATS["seq_shard_calls"] += 1
     spec = P(lane_axis, None, seq_axis, None)
@@ -123,19 +123,19 @@ def flash_attention_seq_sharded(q: Array, k: Array, v: Array, *, mesh,
         return flash_attention(q_, k_full, v_full, interpret=interpret)
 
     return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+                     out_specs=spec, check_vma=False)(q, k, v)
 
 
 def flash_attention_sharded(q: Array, k: Array, v: Array, *, mesh, axis: str,
                             interpret: bool = False) -> Array:
     """flash_attention with the batch (lane) axis shard_map'd over ``axis``."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
     TRACE_STATS["shard_map_calls"] += 1
     spec = P(axis)
     fn = functools.partial(flash_attention, interpret=interpret)
     return shard_map(fn, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+                     out_specs=spec, check_vma=False)(q, k, v)
 
 
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float):
