@@ -78,7 +78,7 @@ def lpips_distance(a: np.ndarray, b: np.ndarray):
         return float(loss(prep(a), prep(b)))
 
 
-def run_ours(args, noise_nhwc: np.ndarray):
+def run_ours(args, noise_nhwc: np.ndarray, masks=None):
     sys.path.insert(0, os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     import jax.numpy as jnp
@@ -105,17 +105,20 @@ def run_ours(args, noise_nhwc: np.ndarray):
         args.prompt, negative_prompt=args.negative_prompt,
         prompt_rewrite=args.prompt_rewrite, concept_loras=loras,
         seed=args.seed, height=args.height, width=args.width,
-        guidance_scale=args.guidance_scale,
+        guidance_scale=args.guidance_scale, masks=masks,
         initial_noise=jnp.asarray(noise_nhwc))
     return res
 
 
-def run_reference(args, device: str = "cpu"):
-    """Drive the torch reference's two-stage pipeline (needs diffusers +
-    the reference repo checkout)."""
+def run_reference(args, masks=None, device: str = "cpu"):
+    """Drive the torch reference's TWO-STAGE flow (needs diffusers + the
+    reference repo checkout). ``masks``: per-concept [H, W] {0,1} arrays
+    (the --masks sidecars) — with masks the reference runs stage 1 AND
+    the region-fused stage 2, exactly like inference_lora.py:262-297;
+    without them only the stage-1 image is comparable."""
     try:
         import diffusers  # noqa: F401
-        import torch  # noqa: F401
+        import torch
     except ImportError as e:
         print(f"SKIP reference run: {e}")
         return None
@@ -130,17 +133,31 @@ def run_reference(args, device: str = "cpu"):
     pipe, controller, pipe_concepts = build_model_sd(
         args.pretrained_sdxl_model, "", device, prompts=[args.prompt] * 2)
     # LoRA loading mirrors inference_lora.py:162-170
+    lora_list = []
     for i, path in enumerate(p for p in args.lora_path.split("|") if p):
         pipe_concepts.load_lora_weights(path, adapter_name=f"c{i}")
+        lora_list.append(f"c{i}")
     input_prompt = prepare_text(args.prompt, args.prompt_rewrite)
-    image = sample_image(
-        pipe, input_prompt=input_prompt,
-        concept_models=pipe_concepts, input_neg_prompt=[
-            args.negative_prompt] * len(input_prompt),
-        generator=None, seed=args.seed, controller=controller,
-        stage=1, lora_list=[], height=args.height, width=args.width,
-        num_inference_steps=args.steps)
-    return image
+
+    def gen():
+        return torch.Generator(device).manual_seed(args.seed)
+
+    common = dict(
+        input_prompt=input_prompt, concept_models=pipe_concepts,
+        input_neg_prompt=[args.negative_prompt] * len(input_prompt),
+        controller=controller, lora_list=lora_list,
+        height=args.height, width=args.width,
+        guidance_scale=args.guidance_scale,
+        num_inference_steps=args.steps, spatial_condition=None)
+    stage1 = sample_image(pipe, generator=gen(), stage=1, **common)
+    if masks is None:
+        return {"stage1": stage1, "stage2": None}
+    controller.reset()
+    region_masks = [torch.from_numpy(np.asarray(m, np.float32))
+                    for m in masks]
+    stage2 = sample_image(pipe, generator=gen(), stage=2,
+                          region_masks=region_masks, **common)
+    return {"stage1": stage1, "stage2": stage2}
 
 
 def run_self_check(out_path: str = "") -> dict:
@@ -240,6 +257,11 @@ def main():
                    help="measure the approximate int8 serving mode's "
                         "LPIPS against the torch reference")
     p.add_argument("--out", default="fidelity_report.json")
+    p.add_argument("--masks", default="",
+                   help="'|'-separated .npy per-concept binary masks "
+                        "[H, W], applied to BOTH pipelines — makes the "
+                        "stage-2 comparison detector-independent (the "
+                        "two frameworks' detectors differ by design)")
     p.add_argument("--self_check", action="store_true",
                    help="run the harness against itself on a tiny random-"
                         "weight config (no checkpoints): executes the "
@@ -258,14 +280,30 @@ def main():
               "(zero-egress environments cannot run this harness)")
         return 0
 
-    noise = torch_initial_latents(args.seed, 1, args.height, args.width)
-    ours = run_ours(args, noise)
-    ref_imgs = run_reference(args)
+    masks = None
+    if args.masks:
+        masks = [np.load(p0) if p0 else None
+                 for p0 in args.masks.split("|")]
 
-    report = {"config": vars(args)}
-    if ref_imgs is not None:
-        a = np.asarray(ref_imgs[1])
-        b = ours.image
+    noise = torch_initial_latents(args.seed, 1, args.height, args.width)
+    ours = run_ours(args, noise, masks=masks)
+    ref = run_reference(args, masks=masks)
+
+    report = {"config": {k: v for k, v in vars(args).items()}}
+    if ref is not None:
+        # stage-matched comparison: stage 2 vs stage 2 when masks were
+        # supplied to both sides, else stage 1 vs stage 1 (the round-2
+        # harness compared ref stage-1 against our stage-2 — a bug the
+        # skip-only CI never executed)
+        if masks is not None and ref["stage2"] is not None:
+            a = np.asarray(ref["stage2"][1])
+            b = ours.image
+            report["compared"] = "stage2"
+        else:
+            a = np.asarray(ref["stage1"][1])
+            b = np.asarray(ours.stage1[1])
+            report["compared"] = ("stage1 (pass --masks for the stage-2 "
+                                  "comparison)")
         report["psnr"] = psnr(a, b)
         report["ssim"] = ssim(a, b)
         lp = lpips_distance(a, b)
