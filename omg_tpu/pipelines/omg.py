@@ -85,12 +85,13 @@ class OMG:
     concept_crop: bool = False
     # Multi-chip LATENCY layout (the v5e-8 < 5 s mode, PARITY.md §6): a
     # jax.sharding.Mesh with axes (data, model). generate() then runs
-    # stage 1 as (lane x tensor) = (data x model) — CFG lanes over the
-    # data axis, Megatron TP inside each UNet over the model axis
-    # (parallel/sharding.py) — and stage 2 lane-parallel: the 4+2K lane
-    # batch sharded one-lane-per-chip over a flat mesh, with the Pallas
-    # flash kernel under shard_map (multiconcept._denoise_mc_range).
-    # This is the engine-level successor of the reference's cross-device
+    # stage 1 SPATIALLY sharded — CFG lanes over the data axis, the
+    # latent's H axis over the model axis, weights replicated, with the
+    # sequence-sharded flash kernel (multiconcept._spatial_ctx) — and
+    # stage 2 lane-parallel: the 4+2K lane batch one-lane-per-chip over
+    # a flat mesh, with the flash kernel and the P2P row edits under
+    # shard_map. The VAE decode is H-sharded too. This is the
+    # engine-level successor of the reference's cross-device
     # base/concept placement (lora_pipeline.py:583,601,605). None =
     # single chip. Build with parallel.mesh.make_mesh(8, data=2).
     mesh: Optional[object] = None
