@@ -54,7 +54,8 @@ def parse_args():
     parser.add_argument("--guidance_scale", default=7.5, type=float)
     parser.add_argument("--mesh", default=0, type=int, metavar="N",
                         help="multi-chip latency mode over N chips "
-                             "(v5e-8 layout: stage-1 TP, stage-2 one "
+                             "(v5e-8 layout: stage 1 spatially sharded "
+                             "over CFG lanes x latent-H, stage 2 one "
                              "lane per chip); 0 = single chip")
     return parser.parse_args()
 
@@ -108,14 +109,8 @@ def main():
 
     mesh = None
     if args.mesh:
-        import jax
-
         from omg_tpu.parallel import mesh as mesh_lib
-        if len(jax.devices()) < args.mesh:
-            raise SystemExit(f"--mesh {args.mesh} needs {args.mesh} "
-                             f"devices; only {len(jax.devices())} visible")
-        mesh = mesh_lib.make_mesh(args.mesh,
-                                  data=2 if args.mesh % 2 == 0 else 1)
+        mesh = mesh_lib.make_latency_mesh(args.mesh)
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
                          cn_cfg=cn_cfg, num_steps=args.num_steps,

@@ -52,9 +52,10 @@ def main():
                         "to exact per-request when ControlNets are on)")
     p.add_argument("--mesh", default=0, type=int, metavar="N",
                    help="multi-chip LATENCY mode over N chips (the "
-                        "v5e-8 layout): stage 1 tensor-parallel as "
-                        "(2 x N/2), stage 2 one lane per chip. 0 = "
-                        "single chip. Requires N visible devices.")
+                        "v5e-8 layout): stage 1 spatially sharded "
+                        "(CFG lanes x latent-H), stage 2 one lane per "
+                        "chip. 0 = single chip. Needs N visible "
+                        "devices.")
     args = p.parse_args()
 
     from omg_tpu import loader
@@ -68,15 +69,8 @@ def main():
         args.segment_type, sam_checkpoint=args.efficientViT_checkpoint)
     mesh = None
     if args.mesh:
-        import jax
         from omg_tpu.parallel import mesh as mesh_lib
-        n = args.mesh
-        if len(jax.devices()) < n:
-            raise SystemExit(
-                f"--mesh {n} needs {n} devices; only "
-                f"{len(jax.devices())} visible")
-        # the latency layout: stage-1 TP groups of N/2 x 2 CFG lanes
-        mesh = mesh_lib.make_mesh(n, data=2 if n % 2 == 0 else 1)
+        mesh = mesh_lib.make_latency_mesh(args.mesh)
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
                          num_steps=args.num_steps, quantize=args.quantize,

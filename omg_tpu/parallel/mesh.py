@@ -56,6 +56,21 @@ def make_mesh(n_devices: Optional[int] = None, *,
     return Mesh(arr, (DATA_AXIS, MODEL_AXIS))
 
 
+def make_latency_mesh(n: int) -> Mesh:
+    """The v5e-8 LATENCY layout's mesh (shared by the serve/inference
+    CLIs and OMG(mesh=...)): (data, model) = (2, n/2) when n is even.
+    Stage 1 runs SPATIALLY sharded over it — the two CFG lanes on the
+    data axis, the latent's H axis on the model axis (not head-TP:
+    SDXL's 10/20 head counts don't divide a 4-way axis); stage 2 and
+    the VAE decode re-view the same chips as a flat lane/H axis.
+    Raises if fewer than n devices are visible."""
+    visible = len(jax.devices())
+    if visible < n:
+        raise ValueError(f"latency mesh needs {n} devices; only "
+                         f"{visible} visible")
+    return make_mesh(n, data=2 if n % 2 == 0 else 1)
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 

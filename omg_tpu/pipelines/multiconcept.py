@@ -121,12 +121,20 @@ def _controlnet_residuals(cns: tuple, cn_cfg, lin: Array, t: Array,
         if cn.guess_mode and cond_rows:
             rows = jnp.asarray(cond_rows)
             lin_g = lin[rows]
-            ehs = (cn.encoder_hidden_states
-                   if cn.encoder_hidden_states is not None
-                   else prompt_embeds[rows])
-            if ehs.shape[0] != len(cond_rows):
+            ehs = cn.encoder_hidden_states
+            if ehs is not None:
+                # an explicit context is CFG-stacked [uncond; cond]
+                # (IdentityNet tokens) or [1, ...]: guess mode
+                # conditions on the COND half only (diffusers
+                # chunk(2)[1], lora_pipeline.py:503) — slicing first
+                # also keeps the broadcast right when cond_rows has a
+                # different length than the CFG pair
+                if ehs.shape[0] == 2:
+                    ehs = ehs[1:]
                 ehs = jnp.broadcast_to(ehs,
                                        (len(cond_rows),) + ehs.shape[1:])
+            else:
+                ehs = prompt_embeds[rows]
             cond = jnp.broadcast_to(
                 cn.cond_image, (len(cond_rows),) + cn.cond_image.shape[1:])
             down, mid = controlnet_lib.apply(
@@ -977,8 +985,13 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                          fusion_start: int = regions.FUSION_START_STEP,
                          base_controlnets: Sequence = (),
                          cn_cfg=None, spatial_sharding=None,
+                         record_trajectory: bool = True,
                          initial_noise: Optional[Array] = None) -> tuple:
     """Stage 1 via the dedup fast path -> ([2, h, w, 4] latents, StageCache).
+
+    ``record_trajectory=False`` skips the per-step trajectory store in
+    the suffix (cache.a_traj=None) — for callers whose stage 2 runs the
+    4+2K lane program (the mesh latency mode), which never reads it.
 
     The post-boundary suffix records its per-step input latents (copy A's
     stage-2 trajectory — bit-identical by the fusion/P2P row analysis in
@@ -1001,11 +1014,19 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         cfg, sched, unet_params, lat, state, base_inputs,
         i0=0, i1=boundary, base_controlnets=tuple(base_controlnets),
         cn_cfg=cn_cfg, spatial_sharding=spatial_sharding)
-    lat_end, _, traj = _denoise_cfg_range_traj(
-        cfg, sched, unet_params, lat_b, st_b, base_inputs,
-        i0=boundary, i1=sched.num_steps,
-        base_controlnets=tuple(base_controlnets), cn_cfg=cn_cfg,
-        spatial_sharding=spatial_sharding)
+    if record_trajectory:
+        lat_end, _, traj = _denoise_cfg_range_traj(
+            cfg, sched, unet_params, lat_b, st_b, base_inputs,
+            i0=boundary, i1=sched.num_steps,
+            base_controlnets=tuple(base_controlnets), cn_cfg=cn_cfg,
+            spatial_sharding=spatial_sharding)
+    else:
+        lat_end, _ = _denoise_cfg_range(
+            cfg, sched, unet_params, lat_b, st_b, base_inputs,
+            i0=boundary, i1=sched.num_steps,
+            base_controlnets=tuple(base_controlnets), cn_cfg=cn_cfg,
+            spatial_sharding=spatial_sharding)
+        traj = None
     cache = StageCache(lat_b, st_b, a_traj=traj, a_final=lat_end)
     return duplicate_latents(lat_end), cache
 

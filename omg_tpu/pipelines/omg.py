@@ -136,6 +136,10 @@ class OMG:
         rep = NamedSharding(flat, P())
         rep_params = jax.tree.map(
             lambda x: jax.device_put(x, rep), self.params.unet)
+        # drop the original placement so chip 0 doesn't hold TWO full
+        # UNet copies (~5 GB each at SDXL bf16 on a 16 GB v5e); every
+        # engine path works off the replicated tree from here on
+        self.params = self.params._replace(unet=rep_params)
         lane_sharding = NamedSharding(flat, P(mesh_lib.DATA_AXIS))
         spatial_sharding = NamedSharding(
             self.mesh, P(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS))
@@ -303,6 +307,9 @@ class OMG:
             fusion_start=fusion_start,
             base_controlnets=base_cns, cn_cfg=self.cn_cfg,
             spatial_sharding=spatial_sharding,
+            # the lane-parallel stage 2 never reads the trajectory —
+            # don't pay the per-step store in the latency-critical loop
+            record_trajectory=(self.mesh is None),
             initial_noise=initial_noise)
         img1 = self._decode(lat1)
 

@@ -41,6 +41,7 @@ from typing import Optional
 import numpy as np
 
 from omg_tpu import lora as lora_lib
+from omg_tpu.diffusion.schedulers import _KINDS as _SCHED_KINDS
 from omg_tpu.serving import conditions
 from omg_tpu.serving.registry import Registry
 from omg_tpu.utils.profiling import METRICS, trace
@@ -439,10 +440,9 @@ class OMGServer:
 
         sched_kwargs = {}
         if job.get("scheduler"):
-            allowed = ("euler", "ddim", "dpmpp_2m", "lcm")
-            if job["scheduler"] not in allowed:
+            if job["scheduler"] not in _SCHED_KINDS:
                 raise ValueError(f"unknown scheduler {job['scheduler']!r} "
-                                 f"(one of {allowed})")
+                                 f"(one of {sorted(_SCHED_KINDS)})")
             sched_kwargs["scheduler"] = job["scheduler"]
         return dict(
             prompt=job["prompt"],
@@ -525,8 +525,7 @@ class OMGServer:
                         "resolutions": conditions.RESOLUTIONS,
                         # per-request scheduler override (LCM few-step
                         # requests batch among themselves)
-                        "schedulers": ["euler", "ddim", "dpmpp_2m",
-                                       "lcm"],
+                        "schedulers": sorted(_SCHED_KINDS),
                     }))
                 elif self.path == "/metrics":
                     self._send(200, json.dumps(METRICS.summary()))

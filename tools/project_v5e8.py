@@ -69,6 +69,11 @@ def project(probe: dict, colls: dict, ici: float = ICI_BYTES_PER_S) -> dict:
         + probe["attn_layers_1280"]
         * max(0.0,
               probe["attn_1280_full_ms"] - probe["attn_1280_local_ms"]))
+    # group size: every stage-1 op is priced at the 4-way seq axis even
+    # though a few minority ops (lane-axis all-reduces/all-to-alls) run
+    # over the 2-way data axis — (p-1)/p grows with p, so this is an
+    # UPPER bound on their cost, not an assumption in the fast direction
+    # (the dominant 839 MB K/V all-gathers genuinely are seq-axis)
     s1_coll = collective_ms(colls["stage1_spatial"]["step_body"],
                             p=colls["devices"] // 2, ici=ici)
     s1_step = probe["s1_chip_proxy_halo_ms"] + attn_corr + s1_coll
