@@ -301,6 +301,20 @@ class OMG:
             stage1_params, lane_sharding, spatial_sharding = \
                 self._mesh_placements()
             stage2_params = stage1_params
+            # H-sharding is only exact when the DEEPEST UNet level's H
+            # still divides the seq axis: a padded shard (e.g. a tiny
+            # 4-row latent halved to 2 rows over a 4-way axis) makes
+            # the stride-2-conv -> nearest-upsample reshape chain leak
+            # padding garbage under GSPMD (reproduced: ~0.2 latent
+            # error at the tiny geometry, exact at divisible ones). At
+            # SDXL 1024^2 the deepest level is 32 rows over a 4-way
+            # axis — divisible; small/odd canvases fall back to an
+            # unsharded stage 1 on the replicated weights.
+            from omg_tpu.parallel import mesh as mesh_lib
+            seq = self.mesh.shape[mesh_lib.MODEL_AXIS]
+            depth = len(self.cfg.unet.block_out_channels) - 1
+            if ((height // 8) >> depth) % max(seq, 1) != 0:
+                spatial_sharding = None
         lat1, cache = multiconcept.sample_stage1_cached(
             self.cfg, sched, stage1_params, key=key, height=height,
             width=width, base_inputs=base_inputs,

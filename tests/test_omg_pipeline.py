@@ -414,6 +414,41 @@ def test_generate_batch_rejects_mixed_schedulers(engine):
         eng.generate_batch(reqs)
 
 
+def test_generate_mesh_matches_single_device(engine):
+    """Engine-level multi-chip latency mode: OMG(mesh=...) .generate()
+    (stage 1 spatially sharded, stage 2 lane-parallel, H-sharded decode)
+    must reproduce the single-device engine's images on the virtual
+    8-device mesh — the user-facing path behind the --mesh CLI flags.
+
+    64 px (latent 8, deepest UNet level 4 rows over the 4-way seq axis)
+    exercises the SHARDED stage 1; 32 px (deepest level 2 rows — not
+    divisible) must take the guard's unsharded fallback: a padded H
+    shard leaks garbage through the downsample->upsample reshapes
+    under GSPMD (reproduced at ~0.2 latent error), so the engine only
+    shards divisible geometries."""
+    from omg_tpu.parallel import mesh as mesh_lib
+
+    eng, _ = engine
+    mesh_eng = omg_lib.OMG(cfg=eng.cfg, params=eng.params,
+                           tokenizer=eng.tokenizer,
+                           tokenizer_2=eng.tokenizer_2,
+                           mask_provider=eng.mask_provider, num_steps=4,
+                           mesh=mesh_lib.make_latency_mesh(8))
+    for hw in (64, 32):
+        kw = dict(negative_prompt="bad",
+                  prompt_rewrite="[the man]-*-[b]|[the woman]-*-[b]",
+                  seed=13, height=hw, width=hw)
+        got = mesh_eng.generate("the man and the woman", **kw)
+        want = eng.generate("the man and the woman", num_steps=4, **kw)
+        np.testing.assert_allclose(got.stage1.astype(np.int32),
+                                   want.stage1.astype(np.int32), atol=1,
+                                   err_msg=f"stage1 at {hw}px")
+        assert got.stage2 is not None and want.stage2 is not None
+        np.testing.assert_allclose(got.stage2.astype(np.int32),
+                                   want.stage2.astype(np.int32), atol=1,
+                                   err_msg=f"stage2 at {hw}px")
+
+
 def test_generate_batch_matches_serial_instantid_controlnet(engine):
     """Round-3 batched serving (BASELINE config #5's full batched half):
     one InstantID request and one spatial-ControlNet request batched as
