@@ -557,9 +557,15 @@ def _spatial_ctx(spatial_sharding):
 
     from omg_tpu.ops import flash_attention as fa
     mesh = spatial_sharding.mesh
-    lane_ax, seq_ax = spatial_sharding.spec[0], spatial_sharding.spec[1]
+    spec = tuple(spatial_sharding.spec) + (None, None)
+    lane_ax, seq_ax = spec[0], spec[1]
     lin_sh = NamedSharding(mesh, P(lane_ax, seq_ax))
     carry_sh = NamedSharding(mesh, P(None, seq_ax))
+    if seq_ax is None:
+        # lane-only layout (the engine's fallback for canvases whose
+        # deepest UNet level doesn't divide the seq axis): the two CFG
+        # rows split over lane_ax, H unsharded — no flash seq context
+        return lin_sh, carry_sh, contextlib.nullcontext()
     ctx = fa.seq_sharded(mesh, lane_ax, seq_ax,
                          interpret=jax.default_backend() != "tpu")
     return lin_sh, carry_sh, ctx

@@ -308,13 +308,18 @@ class OMG:
             # padding garbage under GSPMD (reproduced: ~0.2 latent
             # error at the tiny geometry, exact at divisible ones). At
             # SDXL 1024^2 the deepest level is 32 rows over a 4-way
-            # axis — divisible; small/odd canvases fall back to an
-            # unsharded stage 1 on the replicated weights.
+            # axis — divisible; non-divisible canvases (the 832/1216/
+            # 1344-high aspect buckets) drop to LANE-ONLY sharding:
+            # the two CFG rows over the data axis, H unsharded — still
+            # a 2-way stage-1 split with no padded dimension.
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
             from omg_tpu.parallel import mesh as mesh_lib
             seq = self.mesh.shape[mesh_lib.MODEL_AXIS]
             depth = len(self.cfg.unet.block_out_channels) - 1
             if ((height // 8) >> depth) % max(seq, 1) != 0:
-                spatial_sharding = None
+                spatial_sharding = NamedSharding(
+                    self.mesh, P(mesh_lib.DATA_AXIS, None))
         lat1, cache = multiconcept.sample_stage1_cached(
             self.cfg, sched, stage1_params, key=key, height=height,
             width=width, base_inputs=base_inputs,
