@@ -29,15 +29,25 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N_DEV = int(os.environ.get("OMG_COLL_DEVICES", "8"))
-flags = os.environ.get("XLA_FLAGS", "")
-if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + f" --xla_force_host_platform_device_count={N_DEV}").strip()
+
+
+def _force_cpu_mesh() -> None:
+    """Point this process at N_DEV virtual CPU devices.
+
+    Called from __main__ only (before any device use — jax's backend
+    init is lazy, so mutating XLA_FLAGS here still takes effect), so
+    that tools/aot_v5e8.py can import the HLO-parsing helpers below
+    without being yanked off the TPU backend.
+    """
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + f" --xla_force_host_platform_device_count={N_DEV}"
+        ).strip()
+    jax.config.update("jax_platforms", "cpu")
+
 
 import jax  # noqa: E402
-
-jax.config.update("jax_platforms", "cpu")
-
 import jax.numpy as jnp  # noqa: E402
 import numpy as np  # noqa: E402
 from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
@@ -46,10 +56,14 @@ _DTYPE_BYTES = {"pred": 1, "s8": 1, "u8": 1, "s16": 2, "u16": 2, "bf16": 2,
                 "f16": 2, "s32": 4, "u32": 4, "f32": 4, "s64": 8, "u64": 8,
                 "f64": 8, "c64": 8, "c128": 16}
 
+# matches both the sync form (`bf16[...] all-gather(...)`) and the TPU
+# backend's async pairs — counted at the `-done` op only (its result
+# shape is the moved tensor; the `-start` result is an (operand,
+# result) tuple that would double-count)
 _COLL_RE = re.compile(
     r"=\s*((?:\(.*?\))|(?:[a-z0-9]+\[[0-9,]*\][^ ]*))\s*"
     r"(all-gather|all-reduce|collective-permute|all-to-all|"
-    r"reduce-scatter)\(")
+    r"reduce-scatter)(?:-done)?\(")
 
 
 def _shape_bytes(shape_str: str) -> int:
@@ -281,4 +295,5 @@ def main():
 
 
 if __name__ == "__main__":
+    _force_cpu_mesh()
     main()

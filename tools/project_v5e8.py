@@ -9,6 +9,10 @@ measured quantities. Inputs:
       - stage-2 per-chip b=1 full-frame lane forward
   * tools/v5e8_collectives.json (tools/collective_stats.py, HLO of the
       compiled 8-device programs: per-step collective counts + bytes)
+  * tools/v5e8_aot.json (tools/aot_v5e8.py, OPTIONAL but preferred
+      when present at sdxl size: the same programs AOT-compiled by the
+      real TPU backend for a v5e:2x4 topology — its collective volumes
+      supersede the CPU partitioner's, which become a cross-check row)
   * the published v5e ICI spec — the one non-measured input, labeled:
       1600 Gbps/chip interchip interconnect (Google Cloud TPU v5e docs)
       = 2.0e11 B/s aggregate per chip. A half-bandwidth sensitivity row
@@ -114,6 +118,27 @@ def project(probe: dict, colls: dict, ici: float = ICI_BYTES_PER_S) -> dict:
     }
 
 
+def _load_aot():
+    """TPU-backend AOT topology compile (tools/aot_v5e8.py), if run.
+
+    Preferred over the CPU-partitioned HLO when present at sdxl size:
+    these collective volumes come from the TPU compiler's own SPMD
+    partitioning of the v5e:2x4 executables — the numbers the real
+    slice would run.
+    """
+    path = os.path.join(HERE, "v5e8_aot.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        aot = json.load(f)
+    if aot.get("size") != "sdxl":
+        return None
+    if not all(k in aot for k in ("stage1_spatial", "stage2_lane",
+                                  "vae_spatial")):
+        return None
+    return aot
+
+
 def main():
     with open(os.path.join(HERE, "v5e8_probe.json")) as f:
         probe = json.load(f)
@@ -124,6 +149,11 @@ def main():
               f"{colls.get('size')!r}, not sdxl — bytes are not at the "
               f"projection geometry", file=sys.stderr)
 
+    aot = _load_aot()
+    cpu_colls = colls
+    if aot is not None:
+        colls = aot
+
     out = project(probe, colls)
     out["inputs"] = {
         "probe": {k: probe[k] for k in sorted(probe)},
@@ -131,11 +161,36 @@ def main():
             "stage1_step_body": colls["stage1_spatial"]["step_body"],
             "stage2_step_body": colls["stage2_lane"]["step_body"],
             "size": colls.get("size"),
+            "source": ("tpu-aot v5e:2x4 topology compile"
+                       if aot is not None else
+                       "cpu-partitioned 8-device HLO"),
         },
         "ici_bytes_per_s": ICI_BYTES_PER_S,
         "ici_source": "v5e spec: 1600 Gbps/chip interchip interconnect "
                       "(the projection's one non-measured input)",
     }
+    if aot is not None:
+        # cross-check: the CPU partitioner's volumes vs the TPU
+        # backend's, plus the TPU compile's per-chip memory analysis
+        # (16 GB v5e HBM fit) and XLA cost model where exposed
+        cpu_out = project(probe, cpu_colls)
+        out["cpu_hlo_crosscheck"] = {
+            "v5e8_projection_s": cpu_out["v5e8_projection_s"],
+            "stage1_collective_ms": cpu_out["stage1_collective_ms"],
+            "stage2_collective_ms": cpu_out["stage2_collective_ms"],
+            "stage1_bytes_cpu_vs_tpu": [
+                cpu_colls["stage1_spatial"]["step_body"]["bytes"],
+                colls["stage1_spatial"]["step_body"]["bytes"]],
+            "stage2_bytes_cpu_vs_tpu": [
+                cpu_colls["stage2_lane"]["step_body"]["bytes"],
+                colls["stage2_lane"]["step_body"]["bytes"]],
+        }
+        out["tpu_aot"] = {
+            name: {k: aot[name][k]
+                   for k in ("memory_per_chip", "cost_analysis")
+                   if k in aot[name]}
+            for name in ("stage1_spatial", "stage2_lane", "vae_spatial")
+        }
     # sensitivity: the projection must not hinge on the ICI spec value
     out["sensitivity_half_ici_s"] = project(
         probe, colls, ici=ICI_BYTES_PER_S / 2)["v5e8_projection_s"]
