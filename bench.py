@@ -159,11 +159,17 @@ def main():
 
         # params must be jit ARGUMENTS: a closure would capture the 5 GB
         # weight pytree as baked-in constants (and break remote compile).
+        # OMG_BENCH_CROP=strips composes the approximate strip mode with
+        # this path (and with OMG_BENCH_SCHED=lcm — the highest-
+        # throughput serving configuration); masks are strip-clipped
+        # inside two_stage_latents.
+        crop = os.environ.get("OMG_BENCH_CROP") == "strips"
         two_stage = jax.jit(jax.vmap(
             lambda up, l0, k: multiconcept.two_stage_latents(
                 cfg, sched, up, l0, base, ctl,
                 (concept, concept), tuple(loras), masks,
-                fusion_start=fusion_start, noise_key=k),
+                fusion_start=fusion_start, noise_key=k,
+                concept_crop=crop),
             in_axes=(None, 0, 0)))
 
         # decode only copy B (the deliverable) of each request, ONE
@@ -208,6 +214,8 @@ def main():
                 "batch_seconds": round(p50, 3),
                 "compile_s": round(compile_s, 1),
                 "size": size, "steps": steps,
+                "scheduler": sched_name,
+                "concept_crop": "strips" if crop else None,
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0]),
             },

@@ -949,7 +949,8 @@ def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                       fusion_start: int = regions.FUSION_START_STEP,
                       concept_ip_adapters: tuple = (),
                       ip_scale_static: float = 1.0,
-                      noise_key: Optional[Array] = None) -> tuple:
+                      noise_key: Optional[Array] = None,
+                      concept_crop: bool = False) -> tuple:
     """Pure both-stages computation (no host sync between stages).
 
     For throughput serving / benchmarking where masks are provided
@@ -960,6 +961,11 @@ def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     ``noise_key``: per-request seed key for stochastic schedulers (LCM);
     vmapped callers must pass each request's own key or every request in
     the batch shares one re-noise stream.
+
+    ``concept_crop``: opt-in APPROXIMATE strip mode for the stage-2
+    suffix (_denoise_mc_range_traj_cropped); masks are clipped to the
+    strips here. Composes with few-step schedulers for the
+    highest-throughput serving configuration.
     """
     state = schedulers.init_state(
         sched, latents0.shape,
@@ -973,12 +979,27 @@ def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         cfg, sched, unet_params, lat_b, st_b, base_inputs,
         i0=boundary, i1=sched.num_steps)
     if len(concept_inputs) > 0 and traj.shape[0] > 0:
-        lat2b = _denoise_mc_range_traj.__wrapped__(
-            cfg, sched, unet_params, lat_b, st_b, traj,
-            base_inputs, controller, concept_inputs, concept_loras, masks,
-            i0=boundary, fusion_start=fusion_start,
-            concept_ip_adapters=concept_ip_adapters,
-            ip_scale_static=ip_scale_static)
+        if concept_crop:
+            if not crop_strips_ok(cfg, masks.shape[-1],
+                                  len(concept_inputs)):
+                raise ValueError(
+                    f"latent width {masks.shape[-1]} not divisible into "
+                    f"{len(concept_inputs)} UNet-compatible strips")
+            lat2b = _denoise_mc_range_traj_cropped.__wrapped__(
+                cfg, sched, unet_params, lat_b, st_b, traj,
+                base_inputs, controller, concept_inputs, concept_loras,
+                clip_masks_to_strips(masks, len(concept_inputs)),
+                i0=boundary, fusion_start=fusion_start,
+                concept_ip_adapters=concept_ip_adapters,
+                ip_scale_static=ip_scale_static)
+        else:
+            lat2b = _denoise_mc_range_traj.__wrapped__(
+                cfg, sched, unet_params, lat_b, st_b, traj,
+                base_inputs, controller, concept_inputs, concept_loras,
+                masks,
+                i0=boundary, fusion_start=fusion_start,
+                concept_ip_adapters=concept_ip_adapters,
+                ip_scale_static=ip_scale_static)
         lat2 = jnp.concatenate([lat1, lat2b])
     else:
         lat2 = duplicate_latents(lat1)

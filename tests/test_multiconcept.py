@@ -177,6 +177,53 @@ def test_two_stage_pure_matches_host_path(setup):
     assert not np.allclose(np.asarray(s1r[1]), np.asarray(s1r[0]))
 
 
+def test_two_stage_crop_matches_resumed_crop(setup):
+    """two_stage_latents(concept_crop=True) — the throughput-bench path
+    for the LCM+crop serving composition — == the host-orchestrated
+    stage2_resumed(concept_crop=True), and stays vmappable."""
+    cfg, params, sched, base, concept, ctl = setup
+    key = jax.random.PRNGKey(29)
+    masks = _masks()
+    from omg_tpu.pipelines import sdxl as sdxl_mod
+    lat0 = sdxl_mod.prepare_latents(key, 1, H, W, sched, cfg.unet.dtype)
+    s1p, s2p = multiconcept.two_stage_latents(
+        cfg, sched, params, lat0, base, ctl, (concept, concept),
+        (None, None), masks, fusion_start=2, concept_crop=True)
+
+    _, cache = multiconcept.sample_stage1_cached(
+        cfg, sched, params, key=key, height=H, width=W, base_inputs=base,
+        fusion_start=2)
+    s2h = multiconcept.sample_stage2_resumed(
+        cfg, sched, params, cache, base_inputs=base, controller=ctl,
+        concept_inputs=[concept, concept], concept_loras=[None, None],
+        masks=masks, fusion_start=2, concept_crop=True)
+    np.testing.assert_allclose(np.asarray(s2p), np.asarray(s2h), atol=1e-5)
+
+    # differs from the exact program (live masks use strip context)
+    _, s2_exact = multiconcept.two_stage_latents(
+        cfg, sched, params, lat0, base, ctl, (concept, concept),
+        (None, None), masks, fusion_start=2)
+    assert not np.allclose(np.asarray(s2p[1]), np.asarray(s2_exact[1]))
+
+    # vmapped over a request axis (the bench throughput program)
+    lat0r = jnp.stack([lat0, lat0 * 0.5])
+    f = jax.jit(jax.vmap(lambda l: multiconcept.two_stage_latents(
+        cfg, sched, params, l, base, ctl, (concept, concept),
+        (None, None), masks, fusion_start=2, concept_crop=True)))
+    _, s2r = f(lat0r)
+    np.testing.assert_allclose(np.asarray(s2r[0]), np.asarray(s2p),
+                               atol=1e-4)
+
+    # indivisible strip width rejected at trace time
+    import pytest
+    bad = jnp.zeros((3, H // 8, W // 8), jnp.float32)
+    with pytest.raises(ValueError, match="strips"):
+        multiconcept.two_stage_latents(
+            cfg, sched, params, lat0, base, ctl,
+            (concept, concept, concept), (None, None, None), bad,
+            fusion_start=2, concept_crop=True)
+
+
 def test_same_seed_reproducible(setup):
     cfg, params, sched, base, concept, ctl = setup
     kwargs = dict(cfg=cfg, sched=sched, unet_params=params,
