@@ -70,7 +70,10 @@ def main():
     mesh = None
     if args.mesh:
         from omg_tpu.parallel import mesh as mesh_lib
-        mesh = mesh_lib.make_latency_mesh(args.mesh)
+        try:
+            mesh = mesh_lib.make_latency_mesh(args.mesh)
+        except ValueError as e:
+            raise SystemExit(f"--mesh {args.mesh}: {e}")
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
                          num_steps=args.num_steps, quantize=args.quantize,

@@ -980,26 +980,15 @@ def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         i0=boundary, i1=sched.num_steps)
     if len(concept_inputs) > 0 and traj.shape[0] > 0:
         if concept_crop:
-            if not crop_strips_ok(cfg, masks.shape[-1],
-                                  len(concept_inputs)):
-                raise ValueError(
-                    f"latent width {masks.shape[-1]} not divisible into "
-                    f"{len(concept_inputs)} UNet-compatible strips")
-            lat2b = _denoise_mc_range_traj_cropped.__wrapped__(
-                cfg, sched, unet_params, lat_b, st_b, traj,
-                base_inputs, controller, concept_inputs, concept_loras,
-                clip_masks_to_strips(masks, len(concept_inputs)),
-                i0=boundary, fusion_start=fusion_start,
-                concept_ip_adapters=concept_ip_adapters,
-                ip_scale_static=ip_scale_static)
-        else:
-            lat2b = _denoise_mc_range_traj.__wrapped__(
-                cfg, sched, unet_params, lat_b, st_b, traj,
-                base_inputs, controller, concept_inputs, concept_loras,
-                masks,
-                i0=boundary, fusion_start=fusion_start,
-                concept_ip_adapters=concept_ip_adapters,
-                ip_scale_static=ip_scale_static)
+            masks = check_crop_strips(cfg, masks, len(concept_inputs))
+        fn = (_denoise_mc_range_traj_cropped if concept_crop
+              else _denoise_mc_range_traj)
+        lat2b = fn.__wrapped__(
+            cfg, sched, unet_params, lat_b, st_b, traj,
+            base_inputs, controller, concept_inputs, concept_loras, masks,
+            i0=boundary, fusion_start=fusion_start,
+            concept_ip_adapters=concept_ip_adapters,
+            ip_scale_static=ip_scale_static)
         lat2 = jnp.concatenate([lat1, lat2b])
     else:
         lat2 = duplicate_latents(lat1)
@@ -1152,6 +1141,17 @@ def crop_strips_ok(cfg: sdxl.SDXLConfig, latent_w: int, k: int) -> bool:
     return k > 0 and latent_w % k == 0 and (latent_w // k) % ds == 0
 
 
+def check_crop_strips(cfg: sdxl.SDXLConfig, masks: Array, k: int) -> Array:
+    """Validate the concept-crop strip geometry and return the masks
+    clipped to their strips (shared by sample_stage2_resumed and
+    two_stage_latents)."""
+    if not crop_strips_ok(cfg, masks.shape[-1], k):
+        raise ValueError(
+            f"latent width {masks.shape[-1]} not divisible into "
+            f"{k} UNet-compatible strips")
+    return clip_masks_to_strips(masks, k)
+
+
 def clip_masks_to_strips(masks: Array, n_strips: int) -> Array:
     """[K, h, w] masks -> each clipped to its vertical strip (the
     concept-crop contract: strip k covers columns [k*w/K, (k+1)*w/K))."""
@@ -1203,14 +1203,10 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         # strips must divide the width AND survive the UNet's
         # downsample/upsample round trip (each level halves the width;
         # a strip width with odd intermediates breaks the skip-concat)
-        if not crop_strips_ok(cfg, masks.shape[-1], K):
-            raise ValueError(
-                f"latent width {masks.shape[-1]} not divisible into "
-                f"{K} UNet-compatible strips")
         lat_b = _denoise_mc_range_traj_cropped(
             cfg, sched, unet_params, cache.latents, st, cache.a_traj,
             base_inputs, controller, tuple(concept_inputs),
-            tuple(concept_loras), clip_masks_to_strips(masks, K),
+            tuple(concept_loras), check_crop_strips(cfg, masks, K),
             i0=boundary, fusion_start=fusion_start,
             concept_ip_adapters=tuple(concept_ip_adapters),
             ip_scale_static=ip_scale)

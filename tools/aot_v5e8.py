@@ -38,21 +38,13 @@ import jax  # noqa: E402
 
 jax.config.update("jax_compilation_cache_dir", "/tmp/omg_tpu_jax_cache")
 
-import jax.numpy as jnp  # noqa: E402
 from jax.experimental import topologies  # noqa: E402
-from jax.sharding import NamedSharding, PartitionSpec as P  # noqa: E402
 
 from tools.collective_stats import (  # noqa: E402
     collective_shape_histogram, collectives_by_computation,
-    step_body_totals)
+    lower_programs, once_totals, step_body_totals)
 
 TOPOLOGY = os.environ.get("OMG_AOT_TOPOLOGY", "v5e:2x4")
-
-
-def _sds(tree, sharding):
-    return jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding),
-        tree)
 
 
 def _mem(compiled) -> dict:
@@ -90,15 +82,8 @@ def _report_program(name, compiled, report, loop: bool = True):
     if loop:
         rec = step_body_totals(per)
     else:
-        tot = {"count": 0, "bytes": 0, "by_op": {}}
-        for ops in per.values():
-            for op, r in ops.items():
-                tot["count"] += r["count"]
-                tot["bytes"] += r["bytes"]
-                agg = tot["by_op"].setdefault(op, {"count": 0, "bytes": 0})
-                agg["count"] += r["count"]
-                agg["bytes"] += r["bytes"]
-        rec = {"per_decode": tot}  # schema-matches collective_stats.py
+        # schema-matches collective_stats.py's vae record
+        rec = {"per_decode": once_totals(per)}
     rec["shape_histogram"] = collective_shape_histogram(txt)
     rec["memory_per_chip"] = _mem(compiled)
     rec["cost_analysis"] = _cost(compiled)
@@ -109,12 +94,7 @@ def _report_program(name, compiled, report, loop: bool = True):
 
 
 def main():
-    from omg_tpu.control import p2p
-    from omg_tpu.diffusion import schedulers
-    from omg_tpu.models import unet as unet_lib
-    from omg_tpu.models import vae as vae_lib
     from omg_tpu.parallel import mesh as mesh_lib
-    from omg_tpu.pipelines import multiconcept, sdxl
 
     assert jax.default_backend() == "tpu", (
         "AOT v5e compile needs the TPU backend (got "
@@ -130,88 +110,20 @@ def main():
                                 (mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS))
 
     size = os.environ.get("OMG_AOT_SIZE", "sdxl")
-    if size == "tiny":
-        cfg, H, W = sdxl.tiny_config(), 64, 64
-    else:
-        cfg, H, W = sdxl.sdxl_config(), 1024, 1024
-    h, w = H // 8, W // 8
-    dt = cfg.unet.dtype
-    d = cfg.unet.cross_attention_dim
-    pdim = cfg.text_encoder_2.projection_dim
-    sched = schedulers.make_schedule("euler", 50 if size != "tiny" else 4)
-    S = sched.num_steps
-
-    params_sds = jax.eval_shape(
-        lambda k: unet_lib.init_params(k, cfg.unet), jax.random.PRNGKey(0))
-
-    report = {"topology": TOPOLOGY, "devices": n_dev, "size": size,
-              "height": H, "width": W, "backend": "tpu-aot"}
+    # the program shapes come from the SAME builders the CPU-HLO
+    # evidence chain compiles (collective_stats.lower_programs) — only
+    # the meshes differ (real-TPU topology here, virtual CPU there)
+    progs = lower_programs(sp_mesh, flat, size)
+    report = {"topology": TOPOLOGY, "devices": n_dev, **progs["meta"],
+              "backend": "tpu-aot"}
     only = os.environ.get("OMG_AOT_ONLY", "")
 
-    # ---- stage 1: spatial (lane x seq) = (2 x N/2) -------------------
-    rep1 = NamedSharding(sp_mesh, P())
-    spatial = NamedSharding(sp_mesh,
-                            P(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS))
-    base_sds = multiconcept.BaseInputs(
-        jax.ShapeDtypeStruct((4, 77, d), dt, sharding=rep1),
-        jax.ShapeDtypeStruct((4, pdim), dt, sharding=rep1),
-        jax.ShapeDtypeStruct((4, 6), jnp.float32, sharding=rep1),
-        jax.ShapeDtypeStruct((), jnp.float32, sharding=rep1))
-    lat_sds = jax.ShapeDtypeStruct((1, h, w, 4), dt, sharding=rep1)
-    st_sds = schedulers.SchedulerState(
-        jax.ShapeDtypeStruct((1, h, w, 4), jnp.float32, sharding=rep1),
-        jax.ShapeDtypeStruct((), jnp.int32, sharding=rep1),
-        jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep1))
-    if only in ("", "stage1"):
-        print("AOT-compiling stage-1 spatial program (2 steps)...",
-              flush=True)
-        c1 = multiconcept._denoise_cfg_range.lower(
-            cfg, sched, _sds(params_sds, rep1), lat_sds, st_sds,
-            base_sds, i0=0, i1=2, spatial_sharding=spatial).compile()
-        _report_program("stage1_spatial", c1, report)
-
-    # ---- stage 2: lane-parallel 4+2K with the P2P controller ---------
-    rep2 = NamedSharding(flat, P())
-    lane = NamedSharding(flat, P(mesh_lib.DATA_AXIS))
-    K = 2
-    concept_sds = multiconcept.ConceptInputs(
-        jax.ShapeDtypeStruct((2, 77, d), dt, sharding=rep2),
-        jax.ShapeDtypeStruct((2, pdim), dt, sharding=rep2),
-        jax.ShapeDtypeStruct((2, 6), jnp.float32, sharding=rep2), None)
-    base2_sds = jax.tree.map(
-        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep2),
-        base_sds)
-    lat2_sds = jax.ShapeDtypeStruct((2, h, w, 4), dt, sharding=rep2)
-    st2_sds = schedulers.SchedulerState(
-        jax.ShapeDtypeStruct((2, h, w, 4), jnp.float32, sharding=rep2),
-        jax.ShapeDtypeStruct((), jnp.int32, sharding=rep2),
-        jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep2))
-    masks_sds = jax.ShapeDtypeStruct((K, h, w), jnp.float32, sharding=rep2)
-    ctl = p2p.P2PControl.build(["x", "x"], S, self_replace_steps=0.4,
-                               width=W // 32, height=H // 32)
-    ctl_sds = jax.tree.map(
-        lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep2)
-                   if hasattr(x, "shape") else x), ctl)
-    if only in ("", "stage2"):
-        print("AOT-compiling stage-2 lane program (2 steps)...", flush=True)
-        c2 = multiconcept._denoise_mc_range.lower(
-            cfg, sched, _sds(params_sds, rep2), lat2_sds, st2_sds, base2_sds,
-            ctl_sds, (concept_sds,) * K, (None,) * K, masks_sds,
-            i0=S - 2, fusion_start=S - 3, lane_sharding=lane).compile()
-        _report_program("stage2_lane", c2, report)
-
-    # ---- VAE decode: spatial (H over all chips), runs once ----------
-    if only in ("", "vae"):
-        vae_sds = jax.eval_shape(
-            lambda k: vae_lib.init_params(k, cfg.vae), jax.random.PRNGKey(1))
-        dec_sharding = NamedSharding(flat, P(None, mesh_lib.DATA_AXIS))
-        lat_dec = jax.ShapeDtypeStruct((2, h, w, 4), jnp.float32,
-                                       sharding=rep2)
-        print("AOT-compiling spatial VAE decode...", flush=True)
-        c3 = sdxl.decode_latents.lower(
-            cfg, _sds(vae_sds, rep2), lat_dec,
-            spatial_sharding=dec_sharding).compile()
-        _report_program("vae_spatial", c3, report, loop=False)
+    for name, loop in (("stage1_spatial", True), ("stage2_lane", True),
+                       ("vae_spatial", False)):
+        if only in ("", name.split("_")[0]):
+            print(f"AOT-compiling {name} ({TOPOLOGY})...", flush=True)
+            _report_program(name, progs[name]().compile(), report,
+                            loop=loop)
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "v5e8_aot.json")
@@ -225,9 +137,19 @@ def main():
     if only and os.path.exists(path):
         with open(path) as f:
             prev = json.load(f)
-        report = {**prev, **{k: v for k, v in report.items()
-                             if k in ("stage1_spatial", "stage2_lane",
-                                      "vae_spatial")}}
+        # only merge into a file produced at the SAME topology/size —
+        # otherwise a partial re-run would attach, say, v5e:4x4 volumes
+        # under v5e:2x4 metadata and silently poison the projection
+        same_run = all(prev.get(k) == report[k]
+                       for k in ("topology", "devices", "size"))
+        if same_run:
+            report = {**prev, **{k: v for k, v in report.items()
+                                 if k in ("stage1_spatial", "stage2_lane",
+                                          "vae_spatial")}}
+        else:
+            print(f"note: existing {path} is from a different "
+                  f"topology/size run — writing the partial report "
+                  f"without merging", file=sys.stderr)
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {path}")

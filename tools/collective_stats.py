@@ -96,7 +96,12 @@ def collective_shape_histogram(hlo_text: str, top: int = 12) -> list:
         cm = _COLL_RE.search(line)
         if cm and ("region_" in current or "body" in current
                    or "while" in current):
-            hist[(cm.group(2), cm.group(1).split("{")[0])] += 1
+            # strip layout annotations but keep ALL tuple members:
+            # "(f32[1,32]{...}, f32[1,32]{...})" -> "(f32[1,32], f32[1,32])"
+            # (a '{'-split would truncate the tuple to its first member
+            # and undercount variadic collectives' bytes)
+            hist[(cm.group(2),
+                  re.sub(r"\{[^}]*\}", "", cm.group(1)))] += 1
     out = []
     for (op, shape), n in hist.most_common(top):
         out.append({"op": op, "shape": shape, "count": n,
@@ -152,14 +157,31 @@ def _sds(tree, sharding):
         tree)
 
 
-def main():
+def lower_programs(sp_mesh, flat_mesh, size: str) -> dict:
+    """Lowering thunks for the three v5e-8 latency-mode programs.
+
+    The SINGLE definition of the projection workload's program shapes,
+    shared by this tool (virtual-CPU meshes) and tools/aot_v5e8.py
+    (real-TPU topology meshes) so the two evidence chains cannot
+    diverge. ``sp_mesh`` is the stage-1 (data=2, model=N/2) mesh,
+    ``flat_mesh`` the (N, 1) lane mesh; both may be topology meshes.
+
+    Returns {"meta": {...}, <program>: thunk} where each thunk lowers
+    (caller compiles): stage1_spatial / stage2_lane are 2-step loop
+    bodies (a 1-iteration fori_loop gets unrolled — no while body, so
+    per-step collectives could not be told apart from the prologue);
+    vae_spatial runs once per decode.
+
+    Reference workload being projected: 2-concept 1024x1024 50-step
+    e2e (/root/reference/src/pipelines/lora_pipeline.py:485-632).
+    """
     from omg_tpu.control import p2p
     from omg_tpu.diffusion import schedulers
     from omg_tpu.models import unet as unet_lib
+    from omg_tpu.models import vae as vae_lib
     from omg_tpu.parallel import mesh as mesh_lib
     from omg_tpu.pipelines import multiconcept, sdxl
 
-    size = os.environ.get("OMG_COLL_SIZE", "sdxl")
     if size == "tiny":
         cfg, H, W = sdxl.tiny_config(), 64, 64
     else:
@@ -174,11 +196,7 @@ def main():
     params_sds = jax.eval_shape(
         lambda k: unet_lib.init_params(k, cfg.unet), jax.random.PRNGKey(0))
 
-    report = {"devices": N_DEV, "size": size, "height": H, "width": W}
-
-    only = os.environ.get("OMG_COLL_ONLY", "")
     # ---- stage 1: spatial (lane x seq) = (2 x N/2) -------------------
-    sp_mesh = mesh_lib.make_mesh(N_DEV, data=2, model=N_DEV // 2)
     rep1 = NamedSharding(sp_mesh, P())
     spatial = NamedSharding(sp_mesh,
                             P(mesh_lib.DATA_AXIS, mesh_lib.MODEL_AXIS))
@@ -192,23 +210,15 @@ def main():
         jax.ShapeDtypeStruct((1, h, w, 4), jnp.float32, sharding=rep1),
         jax.ShapeDtypeStruct((), jnp.int32, sharding=rep1),
         jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep1))
-    # i1=2: a 1-iteration fori_loop gets unrolled (no while body, so
-    # per-step collectives cannot be told apart from the prologue)
-    if only in ("", "stage1"):
-        print("compiling stage-1 spatial program (2 steps)...", flush=True)
-        c1 = multiconcept._denoise_cfg_range.lower(
+
+    def lower_stage1():
+        return multiconcept._denoise_cfg_range.lower(
             cfg, sched, _sds(params_sds, rep1), lat_sds, st_sds,
-            base_sds, i0=0, i1=2, spatial_sharding=spatial).compile()
-        per1 = collectives_by_computation(c1.as_text())
-        report["stage1_spatial"] = step_body_totals(per1)
-        report["stage1_spatial"]["shape_histogram"] = \
-            collective_shape_histogram(c1.as_text())
-        print(json.dumps(report["stage1_spatial"], indent=2), flush=True)
+            base_sds, i0=0, i1=2, spatial_sharding=spatial)
 
     # ---- stage 2: lane-parallel 4+2K with the P2P controller ---------
-    flat = mesh_lib.make_mesh(N_DEV, data=N_DEV, model=1)
-    rep2 = NamedSharding(flat, P())
-    lane = NamedSharding(flat, P(mesh_lib.DATA_AXIS))
+    rep2 = NamedSharding(flat_mesh, P())
+    lane = NamedSharding(flat_mesh, P(mesh_lib.DATA_AXIS))
     K = 2
     concept_sds = multiconcept.ConceptInputs(
         jax.ShapeDtypeStruct((2, 77, d), dt, sharding=rep2),
@@ -228,6 +238,64 @@ def main():
     ctl_sds = jax.tree.map(
         lambda x: (jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep2)
                    if hasattr(x, "shape") else x), ctl)
+
+    def lower_stage2():
+        return multiconcept._denoise_mc_range.lower(
+            cfg, sched, _sds(params_sds, rep2), lat2_sds, st2_sds,
+            base2_sds, ctl_sds, (concept_sds,) * K, (None,) * K, masks_sds,
+            i0=S - 2, fusion_start=S - 3, lane_sharding=lane)
+
+    # ---- VAE decode: spatial (H over all chips), runs once ----------
+    def lower_vae():
+        vae_sds = jax.eval_shape(
+            lambda k: vae_lib.init_params(k, cfg.vae), jax.random.PRNGKey(1))
+        dec_sharding = NamedSharding(flat_mesh,
+                                     P(None, mesh_lib.DATA_AXIS))
+        lat_dec = jax.ShapeDtypeStruct((2, h, w, 4), jnp.float32,
+                                       sharding=rep2)
+        return sdxl.decode_latents.lower(
+            cfg, _sds(vae_sds, rep2), lat_dec,
+            spatial_sharding=dec_sharding)
+
+    return {"meta": {"size": size, "height": H, "width": W},
+            "stage1_spatial": lower_stage1,
+            "stage2_lane": lower_stage2,
+            "vae_spatial": lower_vae}
+
+
+def once_totals(per_comp: dict) -> dict:
+    """Aggregate ALL collectives regardless of computation (for
+    programs with no step loop — every collective runs once per call)."""
+    tot = {"count": 0, "bytes": 0, "by_op": {}}
+    for ops in per_comp.values():
+        for op, rec in ops.items():
+            tot["count"] += rec["count"]
+            tot["bytes"] += rec["bytes"]
+            agg = tot["by_op"].setdefault(op, {"count": 0, "bytes": 0})
+            agg["count"] += rec["count"]
+            agg["bytes"] += rec["bytes"]
+    return tot
+
+
+def main():
+    from omg_tpu.parallel import mesh as mesh_lib
+
+    size = os.environ.get("OMG_COLL_SIZE", "sdxl")
+    sp_mesh = mesh_lib.make_mesh(N_DEV, data=2, model=N_DEV // 2)
+    flat = mesh_lib.make_mesh(N_DEV, data=N_DEV, model=1)
+    progs = lower_programs(sp_mesh, flat, size)
+    report = {"devices": N_DEV, **progs["meta"]}
+
+    only = os.environ.get("OMG_COLL_ONLY", "")
+    if only in ("", "stage1"):
+        print("compiling stage-1 spatial program (2 steps)...", flush=True)
+        txt = progs["stage1_spatial"]().compile().as_text()
+        report["stage1_spatial"] = step_body_totals(
+            collectives_by_computation(txt))
+        report["stage1_spatial"]["shape_histogram"] = \
+            collective_shape_histogram(txt)
+        print(json.dumps(report["stage1_spatial"], indent=2), flush=True)
+
     if only == "stage1":
         path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                             "v5e8_collectives.json")
@@ -237,41 +305,19 @@ def main():
         return
     if only in ("", "stage2"):
         print("compiling stage-2 lane program (2 steps)...", flush=True)
-        c2 = multiconcept._denoise_mc_range.lower(
-            cfg, sched, _sds(params_sds, rep2), lat2_sds, st2_sds, base2_sds,
-            ctl_sds, (concept_sds,) * K, (None,) * K, masks_sds,
-            i0=S - 2, fusion_start=S - 3, lane_sharding=lane).compile()
-        per2 = collectives_by_computation(c2.as_text())
-        report["stage2_lane"] = step_body_totals(per2)
+        txt = progs["stage2_lane"]().compile().as_text()
+        report["stage2_lane"] = step_body_totals(
+            collectives_by_computation(txt))
         report["stage2_lane"]["shape_histogram"] = \
-            collective_shape_histogram(c2.as_text())
+            collective_shape_histogram(txt)
         print(json.dumps(report["stage2_lane"], indent=2), flush=True)
 
-    # ---- VAE decode: spatial (H over all chips), runs once ----------
     if only in ("", "vae"):
-        from omg_tpu.pipelines import sdxl as sdxl_lib
-        vae_sds = jax.eval_shape(
-            lambda k: __import__("omg_tpu.models.vae",
-                                 fromlist=["vae"]).init_params(
-                k, cfg.vae), jax.random.PRNGKey(1))
-        dec_sharding = NamedSharding(flat, P(None, mesh_lib.DATA_AXIS))
-        lat_dec = jax.ShapeDtypeStruct((2, h, w, 4), jnp.float32,
-                                       sharding=rep2)
         print("compiling spatial VAE decode...", flush=True)
-        c3 = sdxl_lib.decode_latents.lower(
-            cfg, _sds(vae_sds, rep2), lat_dec,
-            spatial_sharding=dec_sharding).compile()
-        per3 = collectives_by_computation(c3.as_text())
+        txt = progs["vae_spatial"]().compile().as_text()
         # no loop: every collective runs once per decode
-        tot = {"count": 0, "bytes": 0, "by_op": {}}
-        for ops in per3.values():
-            for op, rec in ops.items():
-                tot["count"] += rec["count"]
-                tot["bytes"] += rec["bytes"]
-                agg = tot["by_op"].setdefault(op, {"count": 0, "bytes": 0})
-                agg["count"] += rec["count"]
-                agg["bytes"] += rec["bytes"]
-        report["vae_spatial"] = {"per_decode": tot}
+        report["vae_spatial"] = {
+            "per_decode": once_totals(collectives_by_computation(txt))}
         print(json.dumps(report["vae_spatial"], indent=2), flush=True)
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -160,6 +160,9 @@ def main():
         "collectives": {
             "stage1_step_body": colls["stage1_spatial"]["step_body"],
             "stage2_step_body": colls["stage2_lane"]["step_body"],
+            **({"vae_spatial_per_decode":
+                colls["vae_spatial"]["per_decode"]}
+               if "vae_spatial" in colls else {}),
             "size": colls.get("size"),
             "source": ("tpu-aot v5e:2x4 topology compile"
                        if aot is not None else
