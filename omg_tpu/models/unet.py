@@ -380,8 +380,15 @@ def apply(p: Params, cfg: UNetConfig, sample: Array, timestep: Array,
           ip_scale: float | Array = 1.0,
           control: Optional[AttnControl] = None,
           down_block_residuals: Optional[Sequence[Array]] = None,
-          mid_block_residual: Optional[Array] = None) -> Array:
-    """UNet forward. sample: [B, H, W, 4] NHWC latents; returns eps pred."""
+          mid_block_residual: Optional[Array] = None,
+          return_cache: bool = False) -> Array:
+    """UNet forward. sample: [B, H, W, 4] NHWC latents; returns eps pred.
+
+    ``return_cache=True`` additionally returns the feature entering the
+    LAST up block — the DeepCache branch-0 cache point (Ma et al. 2023,
+    arXiv 2312.00858): everything deeper than the shallowest level can
+    be skipped on nearby steps by resuming ``apply_shallow`` from it.
+    """
     groups = cfg.norm_num_groups
     hd = cfg.attention_head_dim
     temb = time_embeddings(p, cfg, timestep, text_embeds, time_ids)
@@ -422,7 +429,10 @@ def apply(p: Params, cfg: UNetConfig, sample: Array, timestep: Array,
         x = x + mid_block_residual.astype(x.dtype)
 
     ulora = _sub(lora, "up_blocks")
+    cache = None
     for bi, blk in enumerate(p["up_blocks"]):
+        if return_cache and bi == len(p["up_blocks"]) - 1:
+            cache = x
         blora = _sub(ulora, bi)
         attns = blk.get("attentions")
         for ri, res in enumerate(blk["resnets"]):
@@ -435,6 +445,90 @@ def apply(p: Params, cfg: UNetConfig, sample: Array, timestep: Array,
         if "upsamplers" in blk:
             x = layers.upsample_nearest_2x(x)
             x = layers.conv2d(blk["upsamplers"][0]["conv"], x)
+
+    x = layers.group_norm(p["conv_norm_out"], x, num_groups=groups)
+    x = layers.silu(x)
+    out = layers.conv2d(p["conv_out"], x)
+    return (out, cache) if return_cache else out
+
+
+def cache_shape(cfg: UNetConfig, batch: int, h: int, w: int) -> tuple:
+    """Shape of the DeepCache branch-0 feature for an [batch, h, w, 4]
+    latent: the input to the last up block — full latent resolution,
+    channels of the second-shallowest level (every upsampler conv
+    preserves its block's channel count, so reversed_channels[-2] ==
+    block_out_channels[1])."""
+    return (batch, h, w, cfg.block_out_channels[1])
+
+
+def _transformer_depth(attn_p: Params) -> int:
+    """Number of transformer blocks (== attn2 layers) in one attention."""
+    if "transformer_blocks_stacked" in attn_p:
+        return jax.tree.leaves(
+            attn_p["transformer_blocks_stacked"])[0].shape[0]
+    return len(attn_p["transformer_blocks"])
+
+
+def apply_shallow(p: Params, cfg: UNetConfig, sample: Array, timestep: Array,
+                  encoder_hidden_states: Array, *,
+                  text_embeds: Array, time_ids: Array, cache: Array,
+                  lora: Optional[dict] = None,
+                  ip_adapter: Optional[Sequence[Params]] = None,
+                  ip_context: Optional[Array] = None,
+                  ip_scale: float | Array = 1.0,
+                  control: Optional[AttnControl] = None) -> Array:
+    """DeepCache shallow forward (branch 0, Ma et al. 2023).
+
+    Recomputes only the shallowest level — conv_in + down_blocks[0]
+    for fresh skip features — then resumes from ``cache`` (the feature
+    that entered the last up block on the most recent full forward,
+    ``apply(..., return_cache=True)``) through the last up block and
+    the output head. With SDXL's geometry the shallowest level is
+    attention-free (transformer_layers_per_block[0] == 0), so this path
+    runs NO attention at all: LoRA/IP-adapter/P2P edits happen only on
+    full steps. General geometries are still correct: the IP-adapter
+    counter consumes the traversal-order prefix in the down block and
+    jumps to the traversal-order suffix for the last up block.
+
+    Plumbing invariant (unit-tested): feeding the cache captured from a
+    full forward at the SAME (sample, t) reproduces that full forward's
+    output bit-exactly — the approximation is entirely "the cache is a
+    few steps stale", never a layout/skip-order error.
+    """
+    groups = cfg.norm_num_groups
+    hd = cfg.attention_head_dim
+    temb = time_embeddings(p, cfg, timestep, text_embeds, time_ids)
+    ctx = _AttnCtx(encoder_hidden_states, lora,
+                   list(ip_adapter) if ip_adapter is not None else None,
+                   ip_context, ip_scale, control)
+
+    x = layers.conv2d(p["conv_in"], sample)
+    residuals = [x]
+    blk = p["down_blocks"][0]
+    blora = _sub(_sub(_sub(lora, "down_blocks"), 0), "attentions")
+    attns = blk.get("attentions")
+    for ri, res in enumerate(blk["resnets"]):
+        x = _resnet(res, x, temb, groups)
+        if attns:
+            x = _transformer(attns[ri], x, ctx, hd, groups, _sub(blora, ri))
+        residuals.append(x)
+
+    n_up = len(p["up_blocks"])
+    blk = p["up_blocks"][n_up - 1]
+    attns = blk.get("attentions")
+    if ctx.ip_list is not None and attns:
+        # the last up block's attn2 layers are the traversal-order tail
+        ctx.ip_idx = len(ctx.ip_list) - sum(
+            _transformer_depth(a) for a in attns)
+    ulora = _sub(_sub(lora, "up_blocks"), n_up - 1)
+    x = cache
+    for ri, res in enumerate(blk["resnets"]):
+        skip = residuals.pop()
+        x = jnp.concatenate([x, skip.astype(x.dtype)], axis=-1)
+        x = _resnet(res, x, temb, groups)
+        if attns:
+            x = _transformer(attns[ri], x, ctx, hd, groups,
+                             _sub(_sub(ulora, "attentions"), ri))
 
     x = layers.group_norm(p["conv_norm_out"], x, num_groups=groups)
     x = layers.silu(x)
