@@ -572,60 +572,104 @@ def _spatial_ctx(spatial_sharding):
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg",
-                                             "spatial_sharding"))
+                                             "spatial_sharding",
+                                             "cache_interval"))
 def _denoise_cfg_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                        unet_params: dict, latents: Array,
                        state: schedulers.SchedulerState,
                        base_inputs: BaseInputs, *, i0: int, i1: int,
                        base_controlnets: tuple = (), cn_cfg=None,
-                       spatial_sharding=None) -> tuple:
+                       spatial_sharding=None,
+                       cache_interval: int = 0) -> tuple:
     """Plain b=1 CFG denoise over steps [i0, i1); inputs rows [unc, cond].
 
     ``spatial_sharding``: multi-chip stage-1 latency layout — CFG lanes
-    x latent-H shards over a (lane, seq) mesh (see _spatial_ctx)."""
+    x latent-H shards over a (lane, seq) mesh (see _spatial_ctx).
+
+    ``cache_interval > 1``: DeepCache — a full UNet forward every
+    ``cache_interval``-th step (phased from i0) captures the branch-0
+    feature; intermediate steps run unet.apply_shallow from it. The
+    ControlNet forward is also skipped on shallow steps (its deep
+    residuals would be unused; the shallow skips go without — standard
+    DeepCache-on-ControlNet practice). APPROXIMATE, opt-in; drift is
+    measured by the bench (OMG_BENCH_DEEPCACHE)."""
+    use_cache = cache_interval > 1
+    if use_cache and spatial_sharding is not None:
+        raise ValueError("cache_interval and spatial_sharding are "
+                         "mutually exclusive")
     embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
     tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
     tids2 = base_inputs.time_ids[jnp.array([0, 2])]
     lin_sh, carry_sh, seq_ctx = _spatial_ctx(spatial_sharding)
 
-    def body(i, carry):
-        x, st = carry
-        t = sched.timesteps[i]
-        lin = jnp.concatenate([x, x])
-        lin = schedulers.scale_model_input(sched, lin, i)
-        if lin_sh is not None:
-            lin = jax.lax.with_sharding_constraint(lin, lin_sh)
+    def eps_full(lin, i, t, want_cache):
         down_res = mid_res = None
         if base_controlnets:
             down_res, mid_res = _controlnet_residuals(
                 base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2,
                 step_i=i, num_steps=sched.num_steps, cond_rows=(1,))
-        eps = unet.apply(unet_params, cfg.unet, lin, t, embeds2,
-                         text_embeds=tembeds2, time_ids=tids2,
-                         down_block_residuals=down_res,
-                         mid_block_residual=mid_res)
+        return unet.apply(unet_params, cfg.unet, lin, t, embeds2,
+                          text_embeds=tembeds2, time_ids=tids2,
+                          down_block_residuals=down_res,
+                          mid_block_residual=mid_res,
+                          return_cache=want_cache)
+
+    def body(i, carry):
+        if use_cache:
+            x, st, dc = carry
+        else:
+            x, st = carry
+        t = sched.timesteps[i]
+        lin = jnp.concatenate([x, x])
+        lin = schedulers.scale_model_input(sched, lin, i)
+        if lin_sh is not None:
+            lin = jax.lax.with_sharding_constraint(lin, lin_sh)
+        if use_cache:
+            eps, dc = jax.lax.cond(
+                (i - i0) % cache_interval == 0,
+                lambda c: eps_full(lin, i, t, True),
+                lambda c: (unet.apply_shallow(
+                    unet_params, cfg.unet, lin, t, embeds2,
+                    text_embeds=tembeds2, time_ids=tids2, cache=c), c),
+                dc)
+        else:
+            eps = eps_full(lin, i, t, False)
         guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
         x, st = schedulers.step(sched, st, guided, i, x,
                                 shared_batch_noise=True)
         if carry_sh is not None:
             x = jax.lax.with_sharding_constraint(x, carry_sh)
-        return x, st
+        return (x, st, dc) if use_cache else (x, st)
 
+    carry0 = (latents, state)
+    if use_cache:
+        carry0 += (jnp.zeros(
+            unet.cache_shape(cfg.unet, 2 * latents.shape[0],
+                             *latents.shape[1:3]), cfg.unet.dtype),)
     with seq_ctx:
-        return jax.lax.fori_loop(i0, i1, body, (latents, state))
+        out = jax.lax.fori_loop(i0, i1, body, carry0)
+    return out[0], out[1]
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg",
-                                             "spatial_sharding"))
+                                             "spatial_sharding",
+                                             "cache_interval"))
 def _denoise_cfg_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                             unet_params: dict, latents: Array,
                             state: schedulers.SchedulerState,
                             base_inputs: BaseInputs, *, i0: int, i1: int,
                             base_controlnets: tuple = (),
-                            cn_cfg=None, spatial_sharding=None) -> tuple:
+                            cn_cfg=None, spatial_sharding=None,
+                            cache_interval: int = 0) -> tuple:
     """Like _denoise_cfg_range, additionally recording each step's INPUT
     latent -> (latents, state, traj[i1-i0, ...]). The trajectory feeds the
-    3-row stage-2 fast path (copy A's lane inputs are exactly these)."""
+    3-row stage-2 fast path (copy A's lane inputs are exactly these).
+
+    ``cache_interval``: DeepCache, same contract as _denoise_cfg_range."""
+    use_cache = cache_interval > 1
+    if use_cache and spatial_sharding is not None:
+        raise ValueError("cache_interval and spatial_sharding are "
+                         "mutually exclusive")
     embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
     tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
     tids2 = base_inputs.time_ids[jnp.array([0, 2])]
@@ -634,38 +678,60 @@ def _denoise_cfg_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         return latents, state, traj0
     lin_sh, carry_sh, seq_ctx = _spatial_ctx(spatial_sharding)
 
+    def eps_full(lin, i, t, want_cache):
+        down_res = mid_res = None
+        if base_controlnets:
+            down_res, mid_res = _controlnet_residuals(
+                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2,
+                step_i=i, num_steps=sched.num_steps, cond_rows=(1,))
+        return unet.apply(unet_params, cfg.unet, lin, t, embeds2,
+                          text_embeds=tembeds2, time_ids=tids2,
+                          down_block_residuals=down_res,
+                          mid_block_residual=mid_res,
+                          return_cache=want_cache)
+
     def body(i, carry):
-        x, st, traj = carry
+        if use_cache:
+            x, st, traj, dc = carry
+        else:
+            x, st, traj = carry
         traj = jax.lax.dynamic_update_index_in_dim(traj, x, i - i0, 0)
         t = sched.timesteps[i]
         lin = jnp.concatenate([x, x])
         lin = schedulers.scale_model_input(sched, lin, i)
         if lin_sh is not None:
             lin = jax.lax.with_sharding_constraint(lin, lin_sh)
-        down_res = mid_res = None
-        if base_controlnets:
-            down_res, mid_res = _controlnet_residuals(
-                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2,
-                step_i=i, num_steps=sched.num_steps, cond_rows=(1,))
-        eps = unet.apply(unet_params, cfg.unet, lin, t, embeds2,
-                         text_embeds=tembeds2, time_ids=tids2,
-                         down_block_residuals=down_res,
-                         mid_block_residual=mid_res)
+        if use_cache:
+            eps, dc = jax.lax.cond(
+                (i - i0) % cache_interval == 0,
+                lambda c: eps_full(lin, i, t, True),
+                lambda c: (unet.apply_shallow(
+                    unet_params, cfg.unet, lin, t, embeds2,
+                    text_embeds=tembeds2, time_ids=tids2, cache=c), c),
+                dc)
+        else:
+            eps = eps_full(lin, i, t, False)
         guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
         x, st = schedulers.step(sched, st, guided, i, x,
                                 shared_batch_noise=True)
         if carry_sh is not None:
             x = jax.lax.with_sharding_constraint(x, carry_sh)
-        return (x, st, traj)
+        return (x, st, traj, dc) if use_cache else (x, st, traj)
 
+    carry0 = (latents, state, traj0)
+    if use_cache:
+        carry0 += (jnp.zeros(
+            unet.cache_shape(cfg.unet, 2 * latents.shape[0],
+                             *latents.shape[1:3]), cfg.unet.dtype),)
     with seq_ctx:
-        return jax.lax.fori_loop(i0, i1, body, (latents, state, traj0))
+        out = jax.lax.fori_loop(i0, i1, body, carry0)
+    return out[0], out[1], out[2]
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "i0", "fusion_start", "ip_scale_static",
-                     "cn_cfg"))
+                     "cn_cfg", "cache_interval"))
 def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                            unet_params: dict, latent_b: Array,
                            state: schedulers.SchedulerState, a_traj: Array,
@@ -676,7 +742,7 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                            ip_scale_static: float = 1.0,
                            base_controlnets: tuple = (),
                            concept_controlnets: tuple = (),
-                           cn_cfg=None) -> Array:
+                           cn_cfg=None, cache_interval: int = 0) -> Array:
     """Stage-2 suffix with copy A collapsed to ONE trajectory-fed lane:
     3+2K lanes instead of the reference-layout 4+2K.
 
@@ -710,17 +776,9 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         concept_inputs, concept_loras, 3)
     ipk = concept_ip_adapters[0] if concept_ip_adapters else None
 
-    def body(i, carry):
-        x, st = carry                        # [1, h, w, 4] (copy B)
-        t = sched.timesteps[i]
-        xa = jax.lax.dynamic_index_in_dim(a_traj, i - i0, keepdims=False)
-        lin_a = schedulers.scale_model_input(sched, xa, i)
-        lin_b = schedulers.scale_model_input(
-            sched, jnp.concatenate([x, x]), i)
-        lanes = jnp.concatenate(
-            [lin_a, lin_b,
-             jnp.broadcast_to(lin_b[1:2], (2 * K,) + lin_b.shape[1:])])
+    use_cache = cache_interval > 1
 
+    def eps_full(lanes, i, t, ctrl, want_cache):
         down_res = mid_res = None
         if base_controlnets or any(c is not None
                                    for c in concept_controlnets):
@@ -751,26 +809,64 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                             for b, c in zip(b_down, c_down)]
                 mid_res = jnp.concatenate([b_mid, c_mid])
 
-        ctrl = (controller.at_step(i, src_lane=0, dst_lane=2)
-                if controller is not None else None)
-        eps_all = unet.apply(
+        return unet.apply(
             unet_params, cfg.unet, lanes, t, embeds,
             text_embeds=tembeds, time_ids=tids,
             lora=lane_lora, control=ctrl,
             ip_adapter=ipk, ip_context=ip_ctx,
             ip_scale=ip_scale_static,
-            down_block_residuals=down_res, mid_block_residual=mid_res)
+            down_block_residuals=down_res, mid_block_residual=mid_res,
+            return_cache=want_cache)
+
+    def body(i, carry):
+        if use_cache:
+            x, st, dc = carry                # x: [1, h, w, 4] (copy B)
+        else:
+            x, st = carry
+        t = sched.timesteps[i]
+        xa = jax.lax.dynamic_index_in_dim(a_traj, i - i0, keepdims=False)
+        lin_a = schedulers.scale_model_input(sched, xa, i)
+        lin_b = schedulers.scale_model_input(
+            sched, jnp.concatenate([x, x]), i)
+        lanes = jnp.concatenate(
+            [lin_a, lin_b,
+             jnp.broadcast_to(lin_b[1:2], (2 * K,) + lin_b.shape[1:])])
+
+        ctrl = (controller.at_step(i, src_lane=0, dst_lane=2)
+                if controller is not None else None)
+        if use_cache:
+            # DeepCache: full forward (incl. ControlNets + P2P edit
+            # application inside attention) every cache_interval-th
+            # step; shallow attention-free resume otherwise
+            eps_all, dc = jax.lax.cond(
+                (i - i0) % cache_interval == 0,
+                lambda c: eps_full(lanes, i, t, ctrl, True),
+                lambda c: (unet.apply_shallow(
+                    unet_params, cfg.unet, lanes, t, embeds,
+                    text_embeds=tembeds, time_ids=tids, lora=lane_lora,
+                    ip_adapter=ipk, ip_context=ip_ctx,
+                    ip_scale=ip_scale_static, control=ctrl, cache=c), c),
+                dc)
+        else:
+            eps_all = eps_full(lanes, i, t, ctrl, False)
 
         edit = eps_all[1:3]                  # [uncond_B, cond_B]
-        region_preds = eps_all[3:].reshape((K, 2) + lanes.shape[1:])
+        region_preds = eps_all[3:].reshape((K, 2) + latent_b.shape[1:])
         active = jnp.asarray(i > fusion_start)
         fused = regions.fuse_region_edit(
             edit, region_preds, masks.astype(edit.dtype), active=active)
         guided = sampling.cfg_combine(fused, base_inputs.guidance_scale)
-        return schedulers.step(sched, st, guided, i, x,
-                               shared_batch_noise=True)
+        x, st = schedulers.step(sched, st, guided, i, x,
+                                shared_batch_noise=True)
+        return (x, st, dc) if use_cache else (x, st)
 
-    x, _ = jax.lax.fori_loop(i0, sched.num_steps, body, (latent_b, state))
+    carry0 = (latent_b, state)
+    if use_cache:
+        carry0 += (jnp.zeros(
+            unet.cache_shape(cfg.unet, 3 + 2 * K, *latent_b.shape[1:3]),
+            cfg.unet.dtype),)
+    out = jax.lax.fori_loop(i0, sched.num_steps, body, carry0)
+    x = out[0]
     return x
 
 
@@ -1002,8 +1098,13 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                          base_controlnets: Sequence = (),
                          cn_cfg=None, spatial_sharding=None,
                          record_trajectory: bool = True,
-                         initial_noise: Optional[Array] = None) -> tuple:
+                         initial_noise: Optional[Array] = None,
+                         cache_interval: int = 0) -> tuple:
     """Stage 1 via the dedup fast path -> ([2, h, w, 4] latents, StageCache).
+
+    ``cache_interval > 1``: DeepCache (approximate, opt-in) — the
+    prefix and suffix programs each run a full UNet forward every
+    cache_interval-th step and a shallow branch-0 resume otherwise.
 
     ``record_trajectory=False`` skips the per-step trajectory store in
     the suffix (cache.a_traj=None) — for callers whose stage 2 runs the
@@ -1029,19 +1130,22 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     lat_b, st_b = _denoise_cfg_range(
         cfg, sched, unet_params, lat, state, base_inputs,
         i0=0, i1=boundary, base_controlnets=tuple(base_controlnets),
-        cn_cfg=cn_cfg, spatial_sharding=spatial_sharding)
+        cn_cfg=cn_cfg, spatial_sharding=spatial_sharding,
+        cache_interval=cache_interval)
     if record_trajectory:
         lat_end, _, traj = _denoise_cfg_range_traj(
             cfg, sched, unet_params, lat_b, st_b, base_inputs,
             i0=boundary, i1=sched.num_steps,
             base_controlnets=tuple(base_controlnets), cn_cfg=cn_cfg,
-            spatial_sharding=spatial_sharding)
+            spatial_sharding=spatial_sharding,
+            cache_interval=cache_interval)
     else:
         lat_end, _ = _denoise_cfg_range(
             cfg, sched, unet_params, lat_b, st_b, base_inputs,
             i0=boundary, i1=sched.num_steps,
             base_controlnets=tuple(base_controlnets), cn_cfg=cn_cfg,
-            spatial_sharding=spatial_sharding)
+            spatial_sharding=spatial_sharding,
+            cache_interval=cache_interval)
         traj = None
     cache = StageCache(lat_b, st_b, a_traj=traj, a_final=lat_end)
     return duplicate_latents(lat_end), cache
@@ -1175,8 +1279,13 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                           base_controlnets: Sequence = (),
                           concept_controlnets: Sequence = (),
                           cn_cfg=None, lane_sharding=None,
-                          concept_crop: bool = False) -> Array:
+                          concept_crop: bool = False,
+                          cache_interval: int = 0) -> Array:
     """Stage 2 resumed from the cached pre-fusion boundary -> [2, h, w, 4].
+
+    ``cache_interval > 1``: DeepCache over the 3+2K-lane program
+    (approximate, opt-in; requires the trajectory fast path — raises on
+    the crop/lane-sharded/4-row layouts).
 
     Single-chip, the 3+2K-lane trajectory-fed program runs whenever the
     cache carries copy A's recorded trajectory (see StageCache). Under
@@ -1192,6 +1301,13 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     validate_concept_controlnets(concept_controlnets)
     boundary = min(fusion_start + 1, sched.num_steps)
     st = cache.sched_state
+    if cache_interval > 1 and (
+            concept_crop or lane_sharding is not None
+            or cache.a_traj is None or len(concept_inputs) == 0):
+        raise ValueError(
+            "cache_interval requires the 3+2K trajectory fast path "
+            "(no concept_crop, no lane_sharding, a_traj recorded, "
+            ">=1 concept)")
     if concept_crop:
         K = len(concept_inputs)
         if (cache.a_traj is None or K == 0 or lane_sharding is not None
@@ -1221,7 +1337,8 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
             concept_ip_adapters=tuple(concept_ip_adapters),
             ip_scale_static=ip_scale,
             base_controlnets=tuple(base_controlnets),
-            concept_controlnets=tuple(concept_controlnets), cn_cfg=cn_cfg)
+            concept_controlnets=tuple(concept_controlnets), cn_cfg=cn_cfg,
+            cache_interval=cache_interval)
         # copy A's final stage-2 latent == stage 1's (rows 0/2 untouched)
         return jnp.concatenate([cache.a_final, lat_b])
     lat4 = duplicate_latents(cache.latents)

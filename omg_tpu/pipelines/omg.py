@@ -83,6 +83,12 @@ class OMG:
     # exact program per-request when ControlNets are in play; the
     # vmapped generate_batch path always runs exact.
     concept_crop: bool = False
+    # Opt-in approximate mode: DeepCache branch-0 feature caching
+    # (models/unet.py:apply_shallow) — a full UNet forward every
+    # cache_interval-th step, an attention-free shallow resume
+    # otherwise, in BOTH stages. 0/1 = off (exact). Composable with any
+    # scheduler (incl. LCM few-step); exclusive with mesh/concept_crop.
+    cache_interval: int = 0
     # Multi-chip LATENCY layout (the v5e-8 < 5 s mode, PARITY.md §6): a
     # jax.sharding.Mesh with axes (data, model). generate() then runs
     # stage 1 SPATIALLY sharded — CFG lanes over the data axis, the
@@ -108,6 +114,11 @@ class OMG:
                 "concept_crop and mesh are mutually exclusive (the "
                 "strip program is single-chip; the lane-parallel mode "
                 "keeps the power-of-two 4+2K layout)")
+        if self.cache_interval > 1 and (self.mesh is not None
+                                        or self.concept_crop):
+            raise ValueError(
+                "cache_interval is exclusive with mesh and concept_crop "
+                "(the shallow program is single-chip, full-frame)")
 
     # --------------------------------------------------- mesh placements
 
@@ -329,7 +340,8 @@ class OMG:
             # the lane-parallel stage 2 never reads the trajectory —
             # don't pay the per-step store in the latency-critical loop
             record_trajectory=(self.mesh is None),
-            initial_noise=initial_noise)
+            initial_noise=initial_noise,
+            cache_interval=self.cache_interval)
         img1 = self._decode(lat1)
 
         # --- masks -----------------------------------------------------
@@ -401,7 +413,9 @@ class OMG:
                                           for c in concept_cns)
                               and multiconcept.crop_strips_ok(
                                   self.cfg, width // 8,
-                                  len(region_specs))))
+                                  len(region_specs))),
+                cache_interval=(self.cache_interval
+                                if len(region_specs) > 0 else 0))
             img2 = self._decode(lat2)
 
         return GenerationResult(stage1=img1, stage2=img2, masks=masks)

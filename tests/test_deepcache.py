@@ -132,5 +132,182 @@ class TestShallowPlumbing:
         assert not np.allclose(np.asarray(out_full), np.asarray(stale))
 
 
+H = W = 32  # pixel space; latent 4x4
+
+
+@pytest.fixture(scope="module")
+def setup():
+    from omg_tpu.control import p2p
+    from omg_tpu.diffusion import schedulers
+    from omg_tpu.pipelines import multiconcept
+    cfg = sdxl.tiny_config()
+    params = unet.init_params(jax.random.PRNGKey(0), cfg.unet)
+    sched = schedulers.make_schedule("euler", 4)
+    d = cfg.unet.cross_attention_dim
+    p_dim = cfg.text_encoder_2.projection_dim
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    base = multiconcept.make_base_inputs(
+        jax.random.normal(ks[0], (1, 77, d)),
+        jax.random.normal(ks[2], (1, p_dim)),
+        jax.random.normal(ks[1], (1, 77, d)),
+        jax.random.normal(ks[3], (1, p_dim)),
+        sdxl.add_time_ids((H, W), (0, 0), (H, W)), 7.5)
+    concept = multiconcept.make_concept_inputs(
+        jax.random.normal(ks[0], (1, 77, d)),
+        jax.random.normal(ks[2], (1, p_dim)),
+        jax.random.normal(ks[1], (1, 77, d)),
+        jax.random.normal(ks[3], (1, p_dim)),
+        sdxl.add_time_ids((H, W), (0, 0), (H, W)))
+    ctl = p2p.P2PControl.build(["a", "a"], num_steps=4,
+                               self_replace_steps=0.4, width=2, height=2)
+    return cfg, params, sched, base, concept, ctl
+
+
+def _masks():
+    m = np.zeros((2, H // 8, W // 8), np.float32)
+    m[0, :2, :] = 1.0
+    m[1, 2:, :] = 1.0
+    return jnp.asarray(m)
+
+
+class TestLoopIntegration:
+    def test_full_phase_step_matches_exact(self, setup):
+        """A 1-step range starts on the full phase — the cached program
+        must match the exact program bit-for-bit there."""
+        from omg_tpu.diffusion import schedulers
+        from omg_tpu.pipelines import multiconcept
+        cfg, params, sched, base, _, _ = setup
+        key = jax.random.PRNGKey(3)
+        lat = sdxl.prepare_latents(key, 1, H, W, sched, cfg.unet.dtype)
+        st = schedulers.init_state(sched, lat.shape,
+                                   key=jax.random.fold_in(key, 777))
+        exact = multiconcept._denoise_cfg_range(
+            cfg, sched, params, lat, st, base, i0=0, i1=1)
+        cached = multiconcept._denoise_cfg_range(
+            cfg, sched, params, lat, st, base, i0=0, i1=1,
+            cache_interval=3)
+        np.testing.assert_array_equal(np.asarray(exact[0]),
+                                      np.asarray(cached[0]))
+
+    def test_two_step_matches_hand_computation(self, setup):
+        """interval=2 over [0,2): step 0 full (capturing the cache),
+        step 1 shallow from it — recomputed by hand outside the loop."""
+        from omg_tpu.diffusion import sampling, schedulers
+        from omg_tpu.pipelines import multiconcept
+        cfg, params, sched, base, _, _ = setup
+        key = jax.random.PRNGKey(4)
+        lat = sdxl.prepare_latents(key, 1, H, W, sched, cfg.unet.dtype)
+        st0 = schedulers.init_state(sched, lat.shape,
+                                    key=jax.random.fold_in(key, 777))
+        embeds2 = base.prompt_embeds[jnp.array([0, 2])]
+        tembeds2 = base.text_embeds[jnp.array([0, 2])]
+        tids2 = base.time_ids[jnp.array([0, 2])]
+
+        def hand_step(x, st, i, cache):
+            t = sched.timesteps[i]
+            lin = schedulers.scale_model_input(
+                sched, jnp.concatenate([x, x]), i)
+            if cache is None:
+                eps, cache = unet.apply(
+                    params, cfg.unet, lin, t, embeds2,
+                    text_embeds=tembeds2, time_ids=tids2,
+                    return_cache=True)
+            else:
+                eps = unet.apply_shallow(
+                    params, cfg.unet, lin, t, embeds2,
+                    text_embeds=tembeds2, time_ids=tids2, cache=cache)
+            guided = sampling.cfg_combine(eps, base.guidance_scale)
+            x, st = schedulers.step(sched, st, guided, i, x,
+                                    shared_batch_noise=True)
+            return x, st, cache
+
+        x, st, cache = hand_step(lat, st0, 0, None)
+        x, st, _ = hand_step(x, st, 1, cache)
+
+        looped = multiconcept._denoise_cfg_range(
+            cfg, sched, params, lat, st0, base, i0=0, i1=2,
+            cache_interval=2)
+        # eager-vs-compiled fusion rounding is ~4e-5 at fp32 on this
+        # geometry (measured; the exact program shows the same delta vs
+        # an eager step) — a wiring error (wrong phase / stale cache)
+        # would show the ~1e-1 approx-vs-exact scale instead
+        np.testing.assert_allclose(np.asarray(looped[0]), np.asarray(x),
+                                   atol=5e-4)
+
+    def test_stage1_cached_interval_runs_and_differs(self, setup):
+        from omg_tpu.pipelines import multiconcept
+        cfg, params, sched, base, _, _ = setup
+        kw = dict(key=jax.random.PRNGKey(5), height=H, width=W,
+                  base_inputs=base, fusion_start=1)
+        exact, _ = multiconcept.sample_stage1_cached(
+            cfg, sched, params, **kw)
+        approx, _ = multiconcept.sample_stage1_cached(
+            cfg, sched, params, cache_interval=2, **kw)
+        assert np.isfinite(np.asarray(approx, np.float32)).all()
+        assert not np.allclose(np.asarray(exact), np.asarray(approx))
+
+    def test_stage2_resumed_interval_runs_and_differs(self, setup):
+        from omg_tpu.pipelines import multiconcept
+        cfg, params, sched, base, concept, ctl = setup
+        _, cache = multiconcept.sample_stage1_cached(
+            cfg, sched, params, key=jax.random.PRNGKey(6), height=H,
+            width=W, base_inputs=base, fusion_start=1)
+        kw = dict(base_inputs=base, controller=ctl,
+                  concept_inputs=[concept, concept],
+                  concept_loras=[None, None], masks=_masks(),
+                  fusion_start=1)
+        exact = multiconcept.sample_stage2_resumed(
+            cfg, sched, params, cache, **kw)
+        approx = multiconcept.sample_stage2_resumed(
+            cfg, sched, params, cache, cache_interval=2, **kw)
+        assert approx.shape == exact.shape
+        assert np.isfinite(np.asarray(approx, np.float32)).all()
+        assert not np.allclose(np.asarray(exact), np.asarray(approx))
+
+    def test_stage2_guards(self, setup):
+        from omg_tpu.pipelines import multiconcept
+        cfg, params, sched, base, concept, ctl = setup
+        _, cache = multiconcept.sample_stage1_cached(
+            cfg, sched, params, key=jax.random.PRNGKey(6), height=H,
+            width=W, base_inputs=base, fusion_start=1)
+        with pytest.raises(ValueError, match="trajectory fast path"):
+            multiconcept.sample_stage2_resumed(
+                cfg, sched, params, cache, base_inputs=base,
+                controller=ctl, concept_inputs=[concept, concept],
+                concept_loras=[None, None], masks=_masks(),
+                fusion_start=1, cache_interval=2, concept_crop=True)
+
+
+class TestEngine:
+    def test_generate_e2e_and_exclusivity(self):
+        import omg_tpu
+        from omg_tpu.text.tokenizer import ToyTokenizer
+
+        def provider(image, cls):
+            m = np.zeros(image.shape[:2], np.float32)
+            half = image.shape[1] // 2
+            if cls == "man":
+                m[:, :half] = 1.0
+            else:
+                m[:, half:] = 1.0
+            return m
+
+        cfg = sdxl.tiny_config()
+        params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+        kw = dict(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                  tokenizer_2=ToyTokenizer(), mask_provider=provider,
+                  num_steps=4)
+        with pytest.raises(ValueError, match="exclusive"):
+            omg_tpu.OMG(cache_interval=3, concept_crop=True, **kw)
+        eng = omg_tpu.OMG(cache_interval=3, **kw)
+        r = eng.generate(
+            "photo of the man and the woman at the beach",
+            prompt_rewrite="[photo of the man]-*-[ugly]|"
+                           "[photo of the woman]-*-[ugly]",
+            seed=14, height=H, width=W)
+        assert r.image.shape == (H, W, 3)
+        assert np.isfinite(np.asarray(r.image, np.float32)).all()
+
+
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
