@@ -129,6 +129,10 @@ def main():
     masks = jnp.asarray(m)
 
     mode = os.environ.get("OMG_BENCH_MODE", "latency")
+    # OMG_BENCH_DEEPCACHE=N: approximate mode — full UNet forward every
+    # N-th step, attention-free branch-0 shallow resume otherwise
+    # (models/unet.py:apply_shallow); 0 = exact. Works in both modes.
+    dc_interval = int(os.environ.get("OMG_BENCH_DEEPCACHE", "0"))
 
     if mode == "throughput":
         # Batched-request serving throughput: R independent generations
@@ -169,7 +173,7 @@ def main():
                 cfg, sched, up, l0, base, ctl,
                 (concept, concept), tuple(loras), masks,
                 fusion_start=fusion_start, noise_key=k,
-                concept_crop=crop),
+                concept_crop=crop, cache_interval=dc_interval),
             in_axes=(None, 0, 0)))
 
         # decode only copy B (the deliverable) of each request, ONE
@@ -216,6 +220,7 @@ def main():
                 "size": size, "steps": steps,
                 "scheduler": sched_name,
                 "concept_crop": "strips" if crop else None,
+                "deepcache_interval": dc_interval or None,
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0]),
             },
@@ -233,19 +238,20 @@ def main():
         # arrays; fetching a scalar to host is a reliable barrier.
         return float(jnp.sum(x[..., :1, :1, :1]))
 
-    def one_generation():
+    def one_generation(cache_interval=dc_interval, params=unet_params,
+                       seed=5):
         t0 = time.time()
         lat1, cache = multiconcept.sample_stage1_cached(
-            cfg, sched, unet_params, key=jax.random.PRNGKey(5),
+            cfg, sched, params, key=jax.random.PRNGKey(seed),
             height=H, width=W, base_inputs=base,
-            fusion_start=fusion_start)
+            fusion_start=fusion_start, cache_interval=cache_interval)
         sync(lat1)
         t1 = time.time()
         lat2 = multiconcept.sample_stage2_resumed(
-            cfg, sched, unet_params, cache, base_inputs=base,
+            cfg, sched, params, cache, base_inputs=base,
             controller=ctl, concept_inputs=[concept, concept],
             concept_loras=list(loras), masks=masks,
-            fusion_start=fusion_start,
+            fusion_start=fusion_start, cache_interval=cache_interval,
             # OMG_BENCH_CROP=strips: approximate mode — concept lanes on
             # vertical strips (multiconcept._denoise_mc_range_traj_cropped)
             concept_crop=(os.environ.get("OMG_BENCH_CROP") == "strips"))
@@ -297,10 +303,10 @@ def main():
     except Exception:
         drift_cache = {}
     drift_modes = os.environ.get("OMG_BENCH_DRIFT", "crop")
-    exact_run = (quant_mode == ""
+    exact_run = (quant_mode == "" and dc_interval == 0
                  and os.environ.get("OMG_BENCH_CROP") != "strips"
                  and sched_name == "euler" and size == "sdxl")
-    crop_drift = int8_drift = None
+    crop_drift = int8_drift = deepcache_drift = None
     if exact_run and "crop" in drift_modes and \
             multiconcept.crop_strips_ok(cfg, W // 8, 2):
         lat2_c = multiconcept.sample_stage2_resumed(
@@ -323,6 +329,11 @@ def main():
             fusion_start=fusion_start)
         int8_drift = dict(drift_vs_exact(lat2_q), measured="live")
         del qparams
+    if exact_run and "deepcache" in drift_modes:
+        dcN = int(os.environ.get("OMG_BENCH_DEEPCACHE_N", "3"))
+        *_, (lat2_d, _) = one_generation(cache_interval=dcN)
+        deepcache_drift = dict(drift_vs_exact(lat2_d), interval=dcN,
+                               measured="live")
     # merge: live measurements refresh the cache; cached values fill in
     if crop_drift is None:
         crop_drift = drift_cache.get("crop_drift")
@@ -332,11 +343,16 @@ def main():
         int8_drift = drift_cache.get("int8_drift")
         if int8_drift:
             int8_drift = dict(int8_drift, measured="cached")
-    if exact_run and (crop_drift or int8_drift):
+    if deepcache_drift is None:
+        deepcache_drift = drift_cache.get("deepcache_drift")
+        if deepcache_drift:
+            deepcache_drift = dict(deepcache_drift, measured="cached")
+    if exact_run and (crop_drift or int8_drift or deepcache_drift):
         try:
             new_cache = dict(drift_cache)
             for k, v in (("crop_drift", crop_drift),
-                         ("int8_drift", int8_drift)):
+                         ("int8_drift", int8_drift),
+                         ("deepcache_drift", deepcache_drift)):
                 if v and v.get("measured") == "live":
                     new_cache[k] = {kk: vv for kk, vv in v.items()
                                     if kk != "measured"}
@@ -373,9 +389,9 @@ def main():
             # lowering args mirror sample_stage2_resumed's call exactly so
             # the persistent compilation cache is hit (no fresh compile)
             boundary = min(fusion_start + 1, steps)
-            if os.environ.get("OMG_BENCH_CROP") == "strips":
-                raise RuntimeError("skip memory analysis in crop mode "
-                                   "(lowering args mirror the exact "
+            if os.environ.get("OMG_BENCH_CROP") == "strips" or dc_interval:
+                raise RuntimeError("skip memory analysis in crop/deepcache "
+                                   "modes (lowering args mirror the exact "
                                    "program)")
             progs = {
                 "stage2": lambda: multiconcept._denoise_mc_range_traj.lower(
@@ -443,6 +459,7 @@ def main():
             "concept_crop": ("strips"
                              if os.environ.get("OMG_BENCH_CROP") == "strips"
                              else "none"),
+            "deepcache_interval": dc_interval or None,
             "v5e8_projection_s": v5e8_proj,
             "v5e8_projection_note": v5e8_note,
             # approximate-mode drift vs this run's exact latents (same
@@ -450,6 +467,7 @@ def main():
             # "cached" = from tools/drift_measured.json)
             "crop_drift": crop_drift,
             "int8_drift": int8_drift,
+            "deepcache_drift": deepcache_drift,
             "size": size, "steps": steps,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),

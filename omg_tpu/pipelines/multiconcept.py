@@ -1046,8 +1046,13 @@ def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                       concept_ip_adapters: tuple = (),
                       ip_scale_static: float = 1.0,
                       noise_key: Optional[Array] = None,
-                      concept_crop: bool = False) -> tuple:
+                      concept_crop: bool = False,
+                      cache_interval: int = 0) -> tuple:
     """Pure both-stages computation (no host sync between stages).
+
+    ``cache_interval > 1``: DeepCache in every denoise range (vmappable
+    like the rest — the cache rides the per-request loop carry);
+    exclusive with concept_crop.
 
     For throughput serving / benchmarking where masks are provided
     up-front: vmap this over a request axis to batch R independent
@@ -1068,23 +1073,26 @@ def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         key=(jax.random.fold_in(noise_key, 777)
              if noise_key is not None else None))
     boundary = min(fusion_start + 1, sched.num_steps)
+    if cache_interval > 1 and concept_crop:
+        raise ValueError("cache_interval and concept_crop are exclusive")
     lat_b, st_b = _denoise_cfg_range.__wrapped__(
         cfg, sched, unet_params, latents0, state, base_inputs,
-        i0=0, i1=boundary)
+        i0=0, i1=boundary, cache_interval=cache_interval)
     lat1, _, traj = _denoise_cfg_range_traj.__wrapped__(
         cfg, sched, unet_params, lat_b, st_b, base_inputs,
-        i0=boundary, i1=sched.num_steps)
+        i0=boundary, i1=sched.num_steps, cache_interval=cache_interval)
     if len(concept_inputs) > 0 and traj.shape[0] > 0:
         if concept_crop:
             masks = check_crop_strips(cfg, masks, len(concept_inputs))
         fn = (_denoise_mc_range_traj_cropped if concept_crop
               else _denoise_mc_range_traj)
+        kw = {} if concept_crop else {"cache_interval": cache_interval}
         lat2b = fn.__wrapped__(
             cfg, sched, unet_params, lat_b, st_b, traj,
             base_inputs, controller, concept_inputs, concept_loras, masks,
             i0=boundary, fusion_start=fusion_start,
             concept_ip_adapters=concept_ip_adapters,
-            ip_scale_static=ip_scale_static)
+            ip_scale_static=ip_scale_static, **kw)
         lat2 = jnp.concatenate([lat1, lat2b])
     else:
         lat2 = duplicate_latents(lat1)

@@ -264,6 +264,34 @@ class TestLoopIntegration:
         assert np.isfinite(np.asarray(approx, np.float32)).all()
         assert not np.allclose(np.asarray(exact), np.asarray(approx))
 
+    def test_two_stage_latents_vmapped_interval(self, setup):
+        """The throughput path: cache rides the per-request loop carry
+        under vmap (R=2 batched requests)."""
+        from omg_tpu.pipelines import multiconcept
+        cfg, params, sched, base, concept, _ = setup
+        keys = jax.random.split(jax.random.PRNGKey(8), 2)
+        lat0 = jax.vmap(lambda k: sdxl.prepare_latents(
+            k, 1, H, W, sched, cfg.unet.dtype))(keys)
+
+        def run(interval):
+            return jax.vmap(
+                lambda l0, k: multiconcept.two_stage_latents(
+                    cfg, sched, params, l0, base, None,
+                    (concept, concept), (None, None), _masks(),
+                    fusion_start=1, noise_key=k,
+                    cache_interval=interval))(lat0, keys)[1]
+
+        exact = run(0)
+        approx = run(2)
+        assert approx.shape == exact.shape
+        assert np.isfinite(np.asarray(approx, np.float32)).all()
+        assert not np.allclose(np.asarray(exact), np.asarray(approx))
+        with pytest.raises(ValueError, match="exclusive"):
+            multiconcept.two_stage_latents(
+                cfg, sched, params, lat0[0], base, None,
+                (concept, concept), (None, None), _masks(),
+                fusion_start=1, concept_crop=True, cache_interval=2)
+
     def test_stage2_guards(self, setup):
         from omg_tpu.pipelines import multiconcept
         cfg, params, sched, base, concept, ctl = setup
