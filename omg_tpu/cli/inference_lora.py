@@ -57,6 +57,11 @@ def parse_args():
                              "(v5e-8 layout: stage 1 spatially sharded "
                              "over CFG lanes x latent-H, stage 2 one "
                              "lane per chip); 0 = single chip")
+    parser.add_argument("--cache_interval", default=0, type=int,
+                        metavar="N",
+                        help="approximate mode: DeepCache — full UNet "
+                             "forward every N-th step, attention-free "
+                             "shallow resume otherwise; 0 = exact")
     return parser.parse_args()
 
 
@@ -117,7 +122,7 @@ def main():
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
                          cn_cfg=cn_cfg, num_steps=args.num_steps,
-                         mesh=mesh)
+                         mesh=mesh, cache_interval=args.cache_interval)
 
     result = engine.generate(
         args.prompt, negative_prompt=args.negative_prompt,

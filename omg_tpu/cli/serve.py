@@ -50,6 +50,11 @@ def main():
                    help="approximate mode: stage-2 concept lanes on "
                         "vertical strips (~26%% faster e2e; falls back "
                         "to exact per-request when ControlNets are on)")
+    p.add_argument("--cache_interval", default=0, type=int, metavar="N",
+                   help="approximate mode: DeepCache — full UNet "
+                        "forward every N-th step, attention-free "
+                        "shallow resume otherwise. 0 = exact. "
+                        "Exclusive with --concept_crop/--mesh.")
     p.add_argument("--mesh", default=0, type=int, metavar="N",
                    help="multi-chip LATENCY mode over N chips (the "
                         "v5e-8 layout): stage 1 spatially sharded "
@@ -78,7 +83,8 @@ def main():
                          tokenizer_2=tok2, mask_provider=provider,
                          num_steps=args.num_steps, quantize=args.quantize,
                          scheduler=args.scheduler,
-                         concept_crop=args.concept_crop, mesh=mesh)
+                         concept_crop=args.concept_crop, mesh=mesh,
+                         cache_interval=args.cache_interval)
     registry = (Registry.from_json(args.registry) if args.registry
                 else default_registry())
 
@@ -148,7 +154,8 @@ def main():
                          if isinstance(sample, dict) else None),
             sample_ip_adapter=(iid.ip_adapter_layers
                                if iid is not None else None),
-            vae_params=engine.params.vae)
+            vae_params=engine.params.vae,
+            cache_interval=args.cache_interval)
     server.serve(args.host, args.port)
 
 

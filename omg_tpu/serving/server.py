@@ -526,6 +526,16 @@ class OMGServer:
                         # per-request scheduler override (LCM few-step
                         # requests batch among themselves)
                         "schedulers": sorted(_SCHED_KINDS),
+                        # engine-level approximate modes in effect
+                        # (clients see what fidelity they are getting)
+                        "approx_modes": {
+                            "quantize": getattr(server.engine,
+                                                "quantize", "") or None,
+                            "concept_crop": bool(getattr(
+                                server.engine, "concept_crop", False)),
+                            "cache_interval": getattr(
+                                server.engine, "cache_interval", 0) or None,
+                        },
                     }))
                 elif self.path == "/metrics":
                     self._send(200, json.dumps(METRICS.summary()))

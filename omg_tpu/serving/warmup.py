@@ -45,6 +45,7 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
            ip_tokens: int = 16,
            ip_scale: float = 0.8,
            vae_params=None,
+           cache_interval: int = 0,
            log=print) -> int:
     """AOT-compile the serving programs for each (bucket, K).
 
@@ -88,10 +89,11 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
         # stage 1 = prefix + trajectory-recording suffix
         # (multiconcept.sample_stage1_cached)
         multiconcept._denoise_cfg_range.lower(
-            cfg, sched, params, lat, st, base, i0=0, i1=boundary).compile()
+            cfg, sched, params, lat, st, base, i0=0, i1=boundary,
+            cache_interval=cache_interval).compile()
         multiconcept._denoise_cfg_range_traj.lower(
             cfg, sched, params, lat, st, base, i0=boundary,
-            i1=steps).compile()
+            i1=steps, cache_interval=cache_interval).compile()
         n += 2
         ctl = p2p.P2PControl.build(["x", "x"], steps, width=width // 32,
                                    height=height // 32)
@@ -109,7 +111,8 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
             multiconcept._denoise_mc_range_traj.lower(
                 cfg, sched, params, lat, st, a_traj, base, ctl_s,
                 tuple([concept] * K), tuple([lora_s] * K), masks,
-                i0=boundary, fusion_start=fusion_start).compile()
+                i0=boundary, fusion_start=fusion_start,
+                cache_interval=cache_interval).compile()
             n += 1
             if ip_layers_s is not None:
                 # InstantID variant: ip_context tokens + decoupled K/V
@@ -122,7 +125,8 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
                     tuple([concept_ip] * K), tuple([lora_s] * K), masks,
                     i0=boundary, fusion_start=fusion_start,
                     concept_ip_adapters=(ip_layers_s,),
-                    ip_scale_static=ip_scale).compile()
+                    ip_scale_static=ip_scale,
+                    cache_interval=cache_interval).compile()
                 n += 1
         if vae_params is not None:
             # engine._decode decodes the [2, h, w, 4] stage outputs
@@ -153,9 +157,11 @@ def default_serving_warmup(cfg, *, unet_params, steps: int = 50,
                            scheduler: str = "euler",
                            sample_lora: Optional[dict] = None,
                            sample_ip_adapter: Optional[list] = None,
-                           vae_params=None, log=print) -> int:
+                           vae_params=None, cache_interval: int = 0,
+                           log=print) -> int:
     return warmup(cfg, unet_params=unet_params, steps=steps,
                   buckets=RESOLUTIONS, concept_counts=(1, 2),
                   scheduler=scheduler, sample_lora=sample_lora,
                   sample_ip_adapter=sample_ip_adapter,
-                  vae_params=vae_params, log=log)
+                  vae_params=vae_params, cache_interval=cache_interval,
+                  log=log)

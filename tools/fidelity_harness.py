@@ -95,7 +95,8 @@ def run_ours(args, noise_nhwc: np.ndarray, masks=None):
                          tokenizer_2=tok2, mask_provider=provider,
                          num_steps=args.steps,
                          quantize=getattr(args, "quantize", ""),
-                         concept_crop=getattr(args, "concept_crop", False))
+                         concept_crop=getattr(args, "concept_crop", False),
+                         cache_interval=getattr(args, "cache_interval", 0))
     loras = [lora_lib.load_lora(p) if p else None
              for p in args.lora_path.split("|")]
 
@@ -191,11 +192,12 @@ def run_self_check(out_path: str = "") -> dict:
             m[:, image.shape[1] // 2:] = 1.0
         return m
 
-    def build(concept_crop=False):
+    def build(concept_crop=False, cache_interval=0):
         return omg_lib.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
                            tokenizer_2=ToyTokenizer(),
                            mask_provider=provider, num_steps=4,
-                           concept_crop=concept_crop)
+                           concept_crop=concept_crop,
+                           cache_interval=cache_interval)
 
     noise = torch_initial_latents(14, 1, H, W)
     kwargs = dict(
@@ -227,6 +229,14 @@ def run_self_check(out_path: str = "") -> dict:
     else:
         report["crop"] = "skipped (tiny geometry has no UNet-safe strips)"
 
+    # DeepCache self-drift (interval 2 over 4 steps = 2 shallow steps)
+    dcv = build(cache_interval=2).generate(prompt, **kwargs)
+    report["deepcache_psnr"] = psnr(a.image, dcv.image)
+    report["deepcache_ssim"] = ssim(a.image, dcv.image)
+    report["deepcache_stage2_latent_mae"] = float(
+        np.abs(np.asarray(a.stage2, np.float64)
+               - np.asarray(dcv.stage2, np.float64)).mean())
+
     if out_path:
         with open(out_path, "w") as f:
             json.dump(report, f, indent=2)
@@ -255,6 +265,9 @@ def main():
                         "LPIPS against the torch reference")
     p.add_argument("--quantize", default="", choices=["", "int8"],
                    help="measure the approximate int8 serving mode's "
+                        "LPIPS against the torch reference")
+    p.add_argument("--cache_interval", type=int, default=0,
+                   help="measure the approximate DeepCache mode's "
                         "LPIPS against the torch reference")
     p.add_argument("--out", default="fidelity_report.json")
     p.add_argument("--masks", default="",
