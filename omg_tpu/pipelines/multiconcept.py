@@ -1377,7 +1377,7 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "height", "width", "fusion_start",
-                                    "cn_cfg"))
+                                    "cn_cfg", "cache_interval"))
 def sample_stage1_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                         unet_params: dict, keys: Array,
                         base_inputs_r: BaseInputs, *, height: int,
@@ -1385,7 +1385,7 @@ def sample_stage1_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                         fusion_start: int = regions.FUSION_START_STEP,
                         base_cn_params: Optional[dict] = None,
                         base_cn_conds_r: Optional[tuple] = None,
-                        cn_cfg=None) -> tuple:
+                        cn_cfg=None, cache_interval: int = 0) -> tuple:
     """Batched stage 1: keys [R] + request-stacked BaseInputs ->
     (latents [R, 2, h, w, 4], request-stacked StageCache).
 
@@ -1409,11 +1409,12 @@ def sample_stage1_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                                       key=jax.random.fold_in(key, 777))
         lat_b, st_b = _denoise_cfg_range.__wrapped__(
             cfg, sched, unet_params, lat, state, base,
-            i0=0, i1=boundary, base_controlnets=cns, cn_cfg=cn_cfg)
+            i0=0, i1=boundary, base_controlnets=cns, cn_cfg=cn_cfg,
+            cache_interval=cache_interval)
         lat_end, _, traj = _denoise_cfg_range_traj.__wrapped__(
             cfg, sched, unet_params, lat_b, st_b, base,
             i0=boundary, i1=sched.num_steps, base_controlnets=cns,
-            cn_cfg=cn_cfg)
+            cn_cfg=cn_cfg, cache_interval=cache_interval)
         return (duplicate_latents(lat_end),
                 StageCache(lat_b, st_b, a_traj=traj, a_final=lat_end))
 
@@ -1422,7 +1423,8 @@ def sample_stage1_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
 
 @functools.partial(jax.jit,
                    static_argnames=("cfg", "fusion_start",
-                                    "ip_scale_static", "cn_cfg"))
+                                    "ip_scale_static", "cn_cfg",
+                                    "cache_interval"))
 def sample_stage2_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                         unet_params: dict, cache_r: StageCache,
                         base_inputs_r: BaseInputs, controller,
@@ -1435,7 +1437,7 @@ def sample_stage2_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                         concept_cn_conds_r: Optional[tuple] = None,
                         base_cn_params: Optional[dict] = None,
                         base_cn_conds_r: Optional[tuple] = None,
-                        cn_cfg=None) -> Array:
+                        cn_cfg=None, cache_interval: int = 0) -> Array:
     """Batched stage 2 over request-stacked inputs -> [R, 2, h, w, 4].
 
     ``concept_loras_r``: tuple of request-stacked adapter trees — align
@@ -1488,7 +1490,8 @@ def sample_stage2_batch(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
             ip_scale_static=ip_scale_static,
             concept_ip_adapters=concept_ip_adapters,
             base_controlnets=base_cns,
-            concept_controlnets=concept_cns, cn_cfg=cn_cfg)
+            concept_controlnets=concept_cns, cn_cfg=cn_cfg,
+            cache_interval=cache_interval)
         return jnp.concatenate([cache.a_final, lat_b])
 
     return jax.vmap(one)(cache_r, base_inputs_r, concept_inputs_r,

@@ -623,7 +623,8 @@ class OMG:
             self.cfg, sched, self.params.unet, keys, base_r,
             height=height, width=width, fusion_start=fusion_start,
             base_cn_params=base_cn_params,
-            base_cn_conds_r=base_cn_conds_r, cn_cfg=self.cn_cfg)
+            base_cn_conds_r=base_cn_conds_r, cn_cfg=self.cn_cfg,
+            cache_interval=self.cache_interval)
 
         results = []
         masks_per_req = []
@@ -718,7 +719,8 @@ class OMG:
             concept_cn_params=concept_cn_params,
             concept_cn_conds_r=concept_cn_conds_r,
             base_cn_params=base_cn_params,
-            base_cn_conds_r=base_cn_conds_r, cn_cfg=self.cn_cfg)
+            base_cn_conds_r=base_cn_conds_r, cn_cfg=self.cn_cfg,
+            cache_interval=self.cache_interval)
         for r_i in range(len(requests)):
             if any(m is not None for m in masks_per_req[r_i]):
                 results[r_i] = dataclasses.replace(

@@ -336,6 +336,41 @@ class TestEngine:
         assert r.image.shape == (H, W, 3)
         assert np.isfinite(np.asarray(r.image, np.float32)).all()
 
+    def test_generate_batch_matches_serial_with_interval(self):
+        """The vmapped batch path must apply the SAME cache schedule as
+        serial generate (both stages thread engine.cache_interval)."""
+        import omg_tpu
+        from omg_tpu.text.tokenizer import ToyTokenizer
+
+        def provider(image, cls):
+            m = np.zeros(image.shape[:2], np.float32)
+            half = image.shape[1] // 2
+            if cls == "man":
+                m[:, :half] = 1.0
+            else:
+                m[:, half:] = 1.0
+            return m
+
+        cfg = sdxl.tiny_config()
+        params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+        eng = omg_tpu.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                          tokenizer_2=ToyTokenizer(),
+                          mask_provider=provider, num_steps=4,
+                          cache_interval=2)
+        reqs = [dict(prompt="the man and the woman",
+                     prompt_rewrite="[the man]-*-[b]|[the woman]-*-[b]",
+                     seed=s, height=H, width=W) for s in (3, 9)]
+        batched = eng.generate_batch([dict(r) for r in reqs])
+        serial = [eng.generate(r.pop("prompt"), **r)
+                  for r in [dict(x) for x in reqs]]
+        for b, s in zip(batched, serial):
+            np.testing.assert_allclose(b.stage1.astype(np.int32),
+                                       s.stage1.astype(np.int32), atol=1)
+            if b.stage2 is not None:
+                np.testing.assert_allclose(b.stage2.astype(np.int32),
+                                           s.stage2.astype(np.int32),
+                                           atol=1)
+
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
