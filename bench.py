@@ -220,7 +220,8 @@ def main():
                 "size": size, "steps": steps,
                 "scheduler": sched_name,
                 "concept_crop": "strips" if crop else None,
-                "deepcache_interval": dc_interval or None,
+                "deepcache_interval": dc_interval if dc_interval > 1
+                                      else None,
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0]),
             },
@@ -303,7 +304,8 @@ def main():
     except Exception:
         drift_cache = {}
     drift_modes = os.environ.get("OMG_BENCH_DRIFT", "crop")
-    exact_run = (quant_mode == "" and dc_interval == 0
+    # interval <= 1 compiles the exact program (use_cache needs > 1)
+    exact_run = (quant_mode == "" and dc_interval <= 1
                  and os.environ.get("OMG_BENCH_CROP") != "strips"
                  and sched_name == "euler" and size == "sdxl")
     crop_drift = int8_drift = deepcache_drift = None
@@ -329,9 +331,19 @@ def main():
             fusion_start=fusion_start)
         int8_drift = dict(drift_vs_exact(lat2_q), measured="live")
         del qparams
-    if exact_run and "deepcache" in drift_modes:
-        dcN = int(os.environ.get("OMG_BENCH_DEEPCACHE_N", "3"))
-        *_, (lat2_d, _) = one_generation(cache_interval=dcN)
+    dcN = int(os.environ.get("OMG_BENCH_DEEPCACHE_N", "3"))
+    if exact_run and "deepcache" in drift_modes and dcN > 1:
+        # latents only — no need for one_generation's VAE decode here
+        # (drift_vs_exact decodes the deliverable rows itself)
+        _, cache_d = multiconcept.sample_stage1_cached(
+            cfg, sched, unet_params, key=jax.random.PRNGKey(5),
+            height=H, width=W, base_inputs=base,
+            fusion_start=fusion_start, cache_interval=dcN)
+        lat2_d = multiconcept.sample_stage2_resumed(
+            cfg, sched, unet_params, cache_d, base_inputs=base,
+            controller=ctl, concept_inputs=[concept, concept],
+            concept_loras=list(loras), masks=masks,
+            fusion_start=fusion_start, cache_interval=dcN)
         deepcache_drift = dict(drift_vs_exact(lat2_d), interval=dcN,
                                measured="live")
     # merge: live measurements refresh the cache; cached values fill in
@@ -389,7 +401,8 @@ def main():
             # lowering args mirror sample_stage2_resumed's call exactly so
             # the persistent compilation cache is hit (no fresh compile)
             boundary = min(fusion_start + 1, steps)
-            if os.environ.get("OMG_BENCH_CROP") == "strips" or dc_interval:
+            if (os.environ.get("OMG_BENCH_CROP") == "strips"
+                    or dc_interval > 1):
                 raise RuntimeError("skip memory analysis in crop/deepcache "
                                    "modes (lowering args mirror the exact "
                                    "program)")
@@ -459,7 +472,8 @@ def main():
             "concept_crop": ("strips"
                              if os.environ.get("OMG_BENCH_CROP") == "strips"
                              else "none"),
-            "deepcache_interval": dc_interval or None,
+            "deepcache_interval": dc_interval if dc_interval > 1
+                                  else None,
             "v5e8_projection_s": v5e8_proj,
             "v5e8_projection_note": v5e8_note,
             # approximate-mode drift vs this run's exact latents (same

@@ -571,6 +571,94 @@ def _spatial_ctx(spatial_sharding):
     return lin_sh, carry_sh, ctx
 
 
+def _deepcache_cond(i, i0, cache_interval, dc, eps_full, shallow):
+    """DeepCache dispatch: full forward (capturing the branch-0 cache)
+    every ``cache_interval``-th step phased from i0 — so the FIRST step
+    of every range is full and the zero-initialized cache is never
+    consumed — shallow resume otherwise. ``eps_full(want_cache)`` ->
+    (eps, cache); ``shallow(cache)`` -> eps. Returns (eps, cache)."""
+    return jax.lax.cond(
+        (i - i0) % cache_interval == 0,
+        lambda c: eps_full(True),
+        lambda c: (shallow(c), c),
+        dc)
+
+
+def _deepcache_zeros(cfg: sdxl.SDXLConfig, batch: int, h: int, w: int):
+    return jnp.zeros(unet.cache_shape(cfg.unet, batch, h, w),
+                     cfg.unet.dtype)
+
+
+def _cfg_range_impl(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
+                    unet_params: dict, latents: Array,
+                    state: schedulers.SchedulerState,
+                    base_inputs: BaseInputs, *, i0: int, i1: int,
+                    base_controlnets: tuple, cn_cfg, spatial_sharding,
+                    cache_interval: int, record_traj: bool) -> tuple:
+    """Shared body of _denoise_cfg_range / _denoise_cfg_range_traj."""
+    use_cache = cache_interval > 1
+    if use_cache and spatial_sharding is not None:
+        raise ValueError("cache_interval and spatial_sharding are "
+                         "mutually exclusive")
+    embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
+    tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
+    tids2 = base_inputs.time_ids[jnp.array([0, 2])]
+    traj0 = (jnp.zeros((max(i1 - i0, 0),) + latents.shape, latents.dtype)
+             if record_traj else None)
+    if record_traj and i1 <= i0:
+        # empty suffix (fusion gate at/after the last step)
+        return latents, state, traj0
+    lin_sh, carry_sh, seq_ctx = _spatial_ctx(spatial_sharding)
+
+    def eps_full(lin, i, t, want_cache):
+        down_res = mid_res = None
+        if base_controlnets:
+            down_res, mid_res = _controlnet_residuals(
+                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2,
+                step_i=i, num_steps=sched.num_steps, cond_rows=(1,))
+        return unet.apply(unet_params, cfg.unet, lin, t, embeds2,
+                          text_embeds=tembeds2, time_ids=tids2,
+                          down_block_residuals=down_res,
+                          mid_block_residual=mid_res,
+                          return_cache=want_cache)
+
+    def body(i, carry):
+        x, st = carry[0], carry[1]
+        traj = carry[2] if record_traj else None
+        dc = carry[-1] if use_cache else None
+        if record_traj:
+            traj = jax.lax.dynamic_update_index_in_dim(traj, x, i - i0, 0)
+        t = sched.timesteps[i]
+        lin = jnp.concatenate([x, x])
+        lin = schedulers.scale_model_input(sched, lin, i)
+        if lin_sh is not None:
+            lin = jax.lax.with_sharding_constraint(lin, lin_sh)
+        if use_cache:
+            eps, dc = _deepcache_cond(
+                i, i0, cache_interval, dc,
+                lambda w: eps_full(lin, i, t, w),
+                lambda c: unet.apply_shallow(
+                    unet_params, cfg.unet, lin, t, embeds2,
+                    text_embeds=tembeds2, time_ids=tids2, cache=c))
+        else:
+            eps = eps_full(lin, i, t, False)
+        guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
+        x, st = schedulers.step(sched, st, guided, i, x,
+                                shared_batch_noise=True)
+        if carry_sh is not None:
+            x = jax.lax.with_sharding_constraint(x, carry_sh)
+        return ((x, st) + ((traj,) if record_traj else ())
+                + ((dc,) if use_cache else ()))
+
+    carry0 = (latents, state) + ((traj0,) if record_traj else ())
+    if use_cache:
+        carry0 += (_deepcache_zeros(cfg, 2 * latents.shape[0],
+                                    *latents.shape[1:3]),)
+    with seq_ctx:
+        out = jax.lax.fori_loop(i0, i1, body, carry0)
+    return (out[0], out[1], out[2]) if record_traj else (out[0], out[1])
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg",
                                              "spatial_sharding",
                                              "cache_interval"))
@@ -593,62 +681,11 @@ def _denoise_cfg_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     residuals would be unused; the shallow skips go without — standard
     DeepCache-on-ControlNet practice). APPROXIMATE, opt-in; drift is
     measured by the bench (OMG_BENCH_DEEPCACHE)."""
-    use_cache = cache_interval > 1
-    if use_cache and spatial_sharding is not None:
-        raise ValueError("cache_interval and spatial_sharding are "
-                         "mutually exclusive")
-    embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
-    tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
-    tids2 = base_inputs.time_ids[jnp.array([0, 2])]
-    lin_sh, carry_sh, seq_ctx = _spatial_ctx(spatial_sharding)
-
-    def eps_full(lin, i, t, want_cache):
-        down_res = mid_res = None
-        if base_controlnets:
-            down_res, mid_res = _controlnet_residuals(
-                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2,
-                step_i=i, num_steps=sched.num_steps, cond_rows=(1,))
-        return unet.apply(unet_params, cfg.unet, lin, t, embeds2,
-                          text_embeds=tembeds2, time_ids=tids2,
-                          down_block_residuals=down_res,
-                          mid_block_residual=mid_res,
-                          return_cache=want_cache)
-
-    def body(i, carry):
-        if use_cache:
-            x, st, dc = carry
-        else:
-            x, st = carry
-        t = sched.timesteps[i]
-        lin = jnp.concatenate([x, x])
-        lin = schedulers.scale_model_input(sched, lin, i)
-        if lin_sh is not None:
-            lin = jax.lax.with_sharding_constraint(lin, lin_sh)
-        if use_cache:
-            eps, dc = jax.lax.cond(
-                (i - i0) % cache_interval == 0,
-                lambda c: eps_full(lin, i, t, True),
-                lambda c: (unet.apply_shallow(
-                    unet_params, cfg.unet, lin, t, embeds2,
-                    text_embeds=tembeds2, time_ids=tids2, cache=c), c),
-                dc)
-        else:
-            eps = eps_full(lin, i, t, False)
-        guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
-        x, st = schedulers.step(sched, st, guided, i, x,
-                                shared_batch_noise=True)
-        if carry_sh is not None:
-            x = jax.lax.with_sharding_constraint(x, carry_sh)
-        return (x, st, dc) if use_cache else (x, st)
-
-    carry0 = (latents, state)
-    if use_cache:
-        carry0 += (jnp.zeros(
-            unet.cache_shape(cfg.unet, 2 * latents.shape[0],
-                             *latents.shape[1:3]), cfg.unet.dtype),)
-    with seq_ctx:
-        out = jax.lax.fori_loop(i0, i1, body, carry0)
-    return out[0], out[1]
+    return _cfg_range_impl(
+        cfg, sched, unet_params, latents, state, base_inputs, i0=i0, i1=i1,
+        base_controlnets=base_controlnets, cn_cfg=cn_cfg,
+        spatial_sharding=spatial_sharding, cache_interval=cache_interval,
+        record_traj=False)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "i0", "i1", "cn_cfg",
@@ -663,69 +700,12 @@ def _denoise_cfg_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                             cache_interval: int = 0) -> tuple:
     """Like _denoise_cfg_range, additionally recording each step's INPUT
     latent -> (latents, state, traj[i1-i0, ...]). The trajectory feeds the
-    3-row stage-2 fast path (copy A's lane inputs are exactly these).
-
-    ``cache_interval``: DeepCache, same contract as _denoise_cfg_range."""
-    use_cache = cache_interval > 1
-    if use_cache and spatial_sharding is not None:
-        raise ValueError("cache_interval and spatial_sharding are "
-                         "mutually exclusive")
-    embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
-    tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
-    tids2 = base_inputs.time_ids[jnp.array([0, 2])]
-    traj0 = jnp.zeros((max(i1 - i0, 0),) + latents.shape, latents.dtype)
-    if i1 <= i0:          # empty suffix (fusion gate at/after the last step)
-        return latents, state, traj0
-    lin_sh, carry_sh, seq_ctx = _spatial_ctx(spatial_sharding)
-
-    def eps_full(lin, i, t, want_cache):
-        down_res = mid_res = None
-        if base_controlnets:
-            down_res, mid_res = _controlnet_residuals(
-                base_controlnets, cn_cfg, lin, t, embeds2, tembeds2, tids2,
-                step_i=i, num_steps=sched.num_steps, cond_rows=(1,))
-        return unet.apply(unet_params, cfg.unet, lin, t, embeds2,
-                          text_embeds=tembeds2, time_ids=tids2,
-                          down_block_residuals=down_res,
-                          mid_block_residual=mid_res,
-                          return_cache=want_cache)
-
-    def body(i, carry):
-        if use_cache:
-            x, st, traj, dc = carry
-        else:
-            x, st, traj = carry
-        traj = jax.lax.dynamic_update_index_in_dim(traj, x, i - i0, 0)
-        t = sched.timesteps[i]
-        lin = jnp.concatenate([x, x])
-        lin = schedulers.scale_model_input(sched, lin, i)
-        if lin_sh is not None:
-            lin = jax.lax.with_sharding_constraint(lin, lin_sh)
-        if use_cache:
-            eps, dc = jax.lax.cond(
-                (i - i0) % cache_interval == 0,
-                lambda c: eps_full(lin, i, t, True),
-                lambda c: (unet.apply_shallow(
-                    unet_params, cfg.unet, lin, t, embeds2,
-                    text_embeds=tembeds2, time_ids=tids2, cache=c), c),
-                dc)
-        else:
-            eps = eps_full(lin, i, t, False)
-        guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
-        x, st = schedulers.step(sched, st, guided, i, x,
-                                shared_batch_noise=True)
-        if carry_sh is not None:
-            x = jax.lax.with_sharding_constraint(x, carry_sh)
-        return (x, st, traj, dc) if use_cache else (x, st, traj)
-
-    carry0 = (latents, state, traj0)
-    if use_cache:
-        carry0 += (jnp.zeros(
-            unet.cache_shape(cfg.unet, 2 * latents.shape[0],
-                             *latents.shape[1:3]), cfg.unet.dtype),)
-    with seq_ctx:
-        out = jax.lax.fori_loop(i0, i1, body, carry0)
-    return out[0], out[1], out[2]
+    3-row stage-2 fast path (copy A's lane inputs are exactly these)."""
+    return _cfg_range_impl(
+        cfg, sched, unet_params, latents, state, base_inputs, i0=i0, i1=i1,
+        base_controlnets=base_controlnets, cn_cfg=cn_cfg,
+        spatial_sharding=spatial_sharding, cache_interval=cache_interval,
+        record_traj=True)
 
 
 @functools.partial(
@@ -838,15 +818,14 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
             # DeepCache: full forward (incl. ControlNets + P2P edit
             # application inside attention) every cache_interval-th
             # step; shallow attention-free resume otherwise
-            eps_all, dc = jax.lax.cond(
-                (i - i0) % cache_interval == 0,
-                lambda c: eps_full(lanes, i, t, ctrl, True),
-                lambda c: (unet.apply_shallow(
+            eps_all, dc = _deepcache_cond(
+                i, i0, cache_interval, dc,
+                lambda w: eps_full(lanes, i, t, ctrl, w),
+                lambda c: unet.apply_shallow(
                     unet_params, cfg.unet, lanes, t, embeds,
                     text_embeds=tembeds, time_ids=tids, lora=lane_lora,
                     ip_adapter=ipk, ip_context=ip_ctx,
-                    ip_scale=ip_scale_static, control=ctrl, cache=c), c),
-                dc)
+                    ip_scale=ip_scale_static, control=ctrl, cache=c))
         else:
             eps_all = eps_full(lanes, i, t, ctrl, False)
 
@@ -862,9 +841,8 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
 
     carry0 = (latent_b, state)
     if use_cache:
-        carry0 += (jnp.zeros(
-            unet.cache_shape(cfg.unet, 3 + 2 * K, *latent_b.shape[1:3]),
-            cfg.unet.dtype),)
+        carry0 += (_deepcache_zeros(cfg, 3 + 2 * K,
+                                    *latent_b.shape[1:3]),)
     out = jax.lax.fori_loop(i0, sched.num_steps, body, carry0)
     x = out[0]
     return x
