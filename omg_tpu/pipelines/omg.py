@@ -205,6 +205,7 @@ class OMG:
                  fusion_start: Optional[int] = None,
                  initial_noise: Optional[np.ndarray] = None,
                  scheduler: Optional[str] = None,
+                 cache_interval: Optional[int] = None,
                  ) -> GenerationResult:
         steps = num_steps or self.num_steps
         if fusion_start is None:
@@ -214,6 +215,14 @@ class OMG:
         # per-request scheduler override (e.g. LCM few-step requests on
         # an euler-default server; the microbatcher buckets by it)
         sched = schedulers.make_schedule(scheduler or self.scheduler, steps)
+        # per-request DeepCache override (same pattern as scheduler:
+        # None -> the engine default; the microbatcher buckets by it)
+        eff_interval = (self.cache_interval if cache_interval is None
+                        else int(cache_interval))
+        if eff_interval > 1 and (self.mesh is not None or self.concept_crop):
+            raise ValueError(
+                "cache_interval is exclusive with mesh and concept_crop "
+                "(the shallow program is single-chip, full-frame)")
         key = jax.random.PRNGKey(seed)
 
         # --- conditioning ---------------------------------------------
@@ -341,7 +350,7 @@ class OMG:
             # don't pay the per-step store in the latency-critical loop
             record_trajectory=(self.mesh is None),
             initial_noise=initial_noise,
-            cache_interval=self.cache_interval)
+            cache_interval=eff_interval)
         img1 = self._decode(lat1)
 
         # --- masks -----------------------------------------------------
@@ -414,7 +423,7 @@ class OMG:
                               and multiconcept.crop_strips_ok(
                                   self.cfg, width // 8,
                                   len(region_specs))),
-                cache_interval=(self.cache_interval
+                cache_interval=(eff_interval
                                 if len(region_specs) > 0 else 0))
             img2 = self._decode(lat2)
 
@@ -534,13 +543,26 @@ class OMG:
         height = requests[0].get("height", 1024)
         width = requests[0].get("width", 1024)
         sched_name = requests[0].get("scheduler") or self.scheduler
+
+        def _req_interval(r):
+            v = r.get("cache_interval")
+            return self.cache_interval if v is None else int(v)
+
+        # NOTE: named eff_interval (not ci) — the zero_ip scan below
+        # rebinds a loop variable over ConceptInputs rows
+        eff_interval = _req_interval(requests[0])
+        if eff_interval > 1 and self.concept_crop:
+            raise ValueError(
+                "cache_interval is exclusive with mesh and concept_crop "
+                "(the shallow program is single-chip, full-frame)")
         for r in requests[1:]:
             if ((r.get("num_steps") or self.num_steps, r.get("height", 1024),
-                 r.get("width", 1024), r.get("scheduler") or self.scheduler)
-                    != (steps, height, width, sched_name)):
+                 r.get("width", 1024), r.get("scheduler") or self.scheduler,
+                 _req_interval(r))
+                    != (steps, height, width, sched_name, eff_interval)):
                 raise ValueError("batched requests must share "
-                                 "height/width/steps/scheduler (bucket "
-                                 "them)")
+                                 "height/width/steps/scheduler/"
+                                 "cache_interval (bucket them)")
         fusion_start = round(steps * regions_lib.FUSION_START_STEP / 50)
         sched = schedulers.make_schedule(sched_name, steps)
         tids = sdxl.add_time_ids((height, width), (0, 0), (height, width))
@@ -624,7 +646,7 @@ class OMG:
             height=height, width=width, fusion_start=fusion_start,
             base_cn_params=base_cn_params,
             base_cn_conds_r=base_cn_conds_r, cn_cfg=self.cn_cfg,
-            cache_interval=self.cache_interval)
+            cache_interval=eff_interval)
 
         results = []
         masks_per_req = []
@@ -720,7 +742,7 @@ class OMG:
             concept_cn_conds_r=concept_cn_conds_r,
             base_cn_params=base_cn_params,
             base_cn_conds_r=base_cn_conds_r, cn_cfg=self.cn_cfg,
-            cache_interval=self.cache_interval)
+            cache_interval=eff_interval)
         for r_i in range(len(requests)):
             if any(m is not None for m in masks_per_req[r_i]):
                 results[r_i] = dataclasses.replace(

@@ -81,6 +81,8 @@ img{max-width:100%;border:1px solid #ddd;margin:.3em 0}
 <fieldset><legend>Generation</legend>
 <label>Resolution <select id=resolution></select></label>
 <label>Scheduler <select id=scheduler></select></label>
+<label id=dcbox hidden>DeepCache N <input id=deepcache type=number min=0
+ placeholder=off style=width:5em></label>
 <label>Seed <input id=seed type=number value=42 style=width:6em></label>
 <label>Steps <input id=steps type=number value=50 style=width:5em></label>
 <label>CFG <input id=cfg type=number step=0.5 value=7.5
@@ -125,6 +127,7 @@ async function init() {
     $('condbox').hidden = false;
   }
   $('facebox').hidden = !caps.instantid;
+  $('dcbox').hidden = !caps.deepcache_per_request;
 }
 const num = (id, dflt) => {
   const v = +$(id).value;
@@ -139,6 +142,8 @@ $('go').onclick = async () => {
     guidance_scale: num('cfg', 7.5), height: h, width: w};
   if ($('rewrite').value.trim()) job.prompt_rewrite = $('rewrite').value.trim();
   if ($('scheduler').value) job.scheduler = $('scheduler').value;
+  if ($('deepcache').value !== '')
+    job.cache_interval = num('deepcache', 0);
   if ($('condition').value !== 'none' && $('condimg').files[0]) {
     job.condition = $('condition').value;
     job.condition_image = await b64($('condimg').files[0]);
@@ -216,6 +221,10 @@ class OMGServer:
             # tree, and generate_batch requires one shared tree.
             return (h, w, int(job.get("steps", 0)),
                     str(job.get("scheduler", "")),
+                    # DeepCache interval is compiled in: exact and
+                    # shallow-step requests never share a program
+                    int(job["cache_interval"])
+                    if job.get("cache_interval") is not None else None,
                     str(job.get("condition", "")
                         if job.get("condition_image") else ""))
         except Exception:
@@ -444,6 +453,10 @@ class OMGServer:
                 raise ValueError(f"unknown scheduler {job['scheduler']!r} "
                                  f"(one of {sorted(_SCHED_KINDS)})")
             sched_kwargs["scheduler"] = job["scheduler"]
+        if job.get("cache_interval") is not None:
+            # per-request DeepCache (0/1 = exact); engine exclusivity
+            # (mesh/crop) is validated by OMG.generate
+            sched_kwargs["cache_interval"] = int(job["cache_interval"])
         return dict(
             prompt=job["prompt"],
             negative_prompt=job.get("negative_prompt",
@@ -536,6 +549,13 @@ class OMGServer:
                             "cache_interval": getattr(
                                 server.engine, "cache_interval", 0) or None,
                         },
+                        # per-request DeepCache override (job field
+                        # "cache_interval"; requests bucket by it) —
+                        # unavailable on mesh/crop engines (exclusive)
+                        "deepcache_per_request": not (
+                            getattr(server.engine, "mesh", None) is not None
+                            or getattr(server.engine, "concept_crop",
+                                       False)),
                     }))
                 elif self.path == "/metrics":
                     self._send(200, json.dumps(METRICS.summary()))

@@ -336,6 +336,51 @@ class TestEngine:
         assert r.image.shape == (H, W, 3)
         assert np.isfinite(np.asarray(r.image, np.float32)).all()
 
+    def test_per_request_interval_override(self):
+        """generate(cache_interval=N) on an exact-default engine must
+        run the SAME program as an engine constructed with
+        cache_interval=N (the serving per-request override), and the
+        exclusivity guard must hold per-request too."""
+        import omg_tpu
+        from omg_tpu.text.tokenizer import ToyTokenizer
+
+        def provider(image, cls):
+            m = np.zeros(image.shape[:2], np.float32)
+            half = image.shape[1] // 2
+            if cls == "man":
+                m[:, :half] = 1.0
+            else:
+                m[:, half:] = 1.0
+            return m
+
+        cfg = sdxl.tiny_config()
+        params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+        kw = dict(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                  tokenizer_2=ToyTokenizer(), mask_provider=provider,
+                  num_steps=4)
+        gen = dict(prompt="the man and the woman",
+                   prompt_rewrite="[the man]-*-[b]|[the woman]-*-[b]",
+                   seed=7, height=H, width=W)
+        via_engine = omg_tpu.OMG(cache_interval=2, **kw).generate(
+            gen["prompt"], **{k: v for k, v in gen.items()
+                              if k != "prompt"})
+        via_request = omg_tpu.OMG(**kw).generate(
+            gen["prompt"], cache_interval=2,
+            **{k: v for k, v in gen.items() if k != "prompt"})
+        np.testing.assert_array_equal(np.asarray(via_engine.image),
+                                      np.asarray(via_request.image))
+        # per-request interval on a crop engine: same guard as the ctor
+        crop_eng = omg_tpu.OMG(concept_crop=True, **kw)
+        with pytest.raises(ValueError, match="exclusive"):
+            crop_eng.generate(gen["prompt"], cache_interval=2,
+                              **{k: v for k, v in gen.items()
+                                 if k != "prompt"})
+        # mixed intervals cannot share one vmapped program
+        eng = omg_tpu.OMG(**kw)
+        reqs = [dict(gen, seed=1), dict(gen, seed=2, cache_interval=2)]
+        with pytest.raises(ValueError, match="bucket"):
+            eng.generate_batch(reqs)
+
     def test_generate_batch_matches_serial_with_interval(self):
         """The vmapped batch path must apply the SAME cache schedule as
         serial generate (both stages thread engine.cache_interval)."""

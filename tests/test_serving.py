@@ -445,6 +445,31 @@ def test_bucket_keys_on_scheduler():
     assert b == c
 
 
+def test_bucket_keys_on_cache_interval():
+    """Per-request DeepCache requests compile a different program —
+    they must never share a vmapped batch with exact requests."""
+    from omg_tpu.serving.server import OMGServer
+    base = {"height": 1024, "width": 1024, "steps": 8}
+    a = OMGServer._bucket(dict(base))
+    b = OMGServer._bucket(dict(base, cache_interval=3))
+    c = OMGServer._bucket(dict(base, cache_interval=3))
+    assert a != b
+    assert b == c
+
+
+def test_job_cache_interval_passthrough():
+    from omg_tpu.serving.server import OMGServer
+    srv = OMGServer.__new__(OMGServer)
+    srv.registry = __import__(
+        "omg_tpu.serving.registry", fromlist=["Registry"]).Registry()
+    srv.loras = {}
+    srv.instantid = None
+    srv.controlnets = {}
+    req = srv._job_to_request({"prompt": "x", "cache_interval": 3})
+    assert req["cache_interval"] == 3
+    assert "cache_interval" not in srv._job_to_request({"prompt": "x"})
+
+
 def test_job_scheduler_validation_and_passthrough():
     from omg_tpu.serving.server import OMGServer
 
