@@ -54,6 +54,11 @@ def parse_args():
     p.add_argument("--num_steps", default=50, type=int)
     p.add_argument("--height", default=1024, type=int)
     p.add_argument("--width", default=1024, type=int)
+    p.add_argument("--cache_interval", default=0, type=int, metavar="N",
+                   help="approximate mode: DeepCache — full UNet forward "
+                        "every N-th step, attention-free shallow resume "
+                        "otherwise (IP/IdentityNet apply on full steps); "
+                        "0 = exact")
     return p.parse_args()
 
 
@@ -88,7 +93,6 @@ def main():
     args = parse_args()
     from PIL import Image
 
-    from omg_tpu import config as cfglib
     from omg_tpu import convert, instantid, loader
     from omg_tpu.pipelines import omg as omg_lib
     from omg_tpu.rewrite import parse_rewrite
@@ -96,9 +100,13 @@ def main():
 
     cfg, params, tok1, tok2 = loader.load_sdxl(args.pretrained_model)
     idnet_cfg, idnet_params = loader.load_controlnet(args.controlnet_path)
-    adapter = convert.convert_ip_adapter(args.face_adapter_path)
+    adapter_sd = convert.load_state_dict(args.face_adapter_path)
+    adapter = convert.convert_ip_adapter(adapter_sd)
 
-    rs_cfg = cfglib.instantid_resampler()
+    # geometry from the checkpoint's own shapes (real InstantID infers
+    # to exactly cfglib.instantid_resampler(); non-SDXL adapters load
+    # without a preset)
+    rs_cfg = convert.infer_resampler_cfg(adapter_sd)
     iid = omg_lib.InstantIDModels(
         resampler_cfg=rs_cfg,
         resampler_params=adapter["image_proj"],
@@ -149,7 +157,8 @@ def main():
 
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
-                         cn_cfg=idnet_cfg, num_steps=args.num_steps)
+                         cn_cfg=idnet_cfg, num_steps=args.num_steps,
+                         cache_interval=args.cache_interval)
 
     result = engine.generate(
         args.prompt, negative_prompt=args.negative_prompt,

@@ -90,16 +90,19 @@ def main():
 
     iid = None
     if args.face_adapter_path:
-        from omg_tpu import config as cfglib
         from omg_tpu import convert
-        adapter = convert.convert_ip_adapter(args.face_adapter_path)
+        adapter_sd = convert.load_state_dict(args.face_adapter_path)
+        adapter = convert.convert_ip_adapter(adapter_sd)
         idnet_cfg = idnet_params = None
         if args.identitynet_path:
             idnet_cfg, idnet_params = loader.load_controlnet(
                 args.identitynet_path)
             engine.cn_cfg = idnet_cfg
         iid = omg_lib.InstantIDModels(
-            resampler_cfg=cfglib.instantid_resampler(),
+            # geometry from the checkpoint's own shapes (the hand preset
+            # cfglib.instantid_resampler() is what real InstantID infers
+            # to; non-SDXL adapters now load too)
+            resampler_cfg=convert.infer_resampler_cfg(adapter_sd),
             resampler_params=adapter["image_proj"],
             ip_adapter_layers=adapter["ip_adapter"],
             identitynet_params=idnet_params, identitynet_cfg=idnet_cfg)

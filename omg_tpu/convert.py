@@ -37,8 +37,22 @@ def load_state_dict(path: str) -> dict:
     sd = torch.load(path, map_location="cpu", weights_only=True)
     if "state_dict" in sd and isinstance(sd["state_dict"], dict):
         sd = sd["state_dict"]
-    return {k: v.float().numpy() if hasattr(v, "numpy") else np.asarray(v)
-            for k, v in sd.items()}
+    return _flatten_sd(sd)
+
+
+def _flatten_sd(sd: dict, prefix: str = "") -> dict:
+    """Flatten nested sub-state-dicts into dotted keys: the IP-Adapter /
+    InstantID ``.bin`` format is ``{"image_proj": {...}, "ip_adapter":
+    {...}}`` (two nested OrderedDicts), not a flat dict."""
+    out: dict = {}
+    for k, v in sd.items():
+        key = f"{prefix}{k}"
+        if isinstance(v, dict):
+            out.update(_flatten_sd(v, key + "."))
+        else:
+            out[key] = (v.float().numpy() if hasattr(v, "numpy")
+                        else np.asarray(v))
+    return out
 
 
 def _canon_path(parts: list) -> list:
@@ -281,7 +295,8 @@ def convert_ip_adapter(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
     'ip_adapter' ({layer_idx}.to_k_ip.weight ...) halves (reference:
     src/pipelines/instantid_single_pieline.py:179-213).
     """
-    sd = load_state_dict(sd_or_path) if isinstance(sd_or_path, str) else sd_or_path
+    sd = (load_state_dict(sd_or_path) if isinstance(sd_or_path, str)
+          else _flatten_sd(sd_or_path))
     image_proj_sd = {k.split("image_proj.", 1)[1]: v for k, v in sd.items()
                      if k.startswith("image_proj.")}
     ip_sd = {k.split("ip_adapter.", 1)[1]: v for k, v in sd.items()
@@ -302,3 +317,38 @@ def convert_ip_adapter(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
     # (every other processor is cross-attn); renumber densely.
     layers = [by_layer[i] for i in sorted(by_layer)]
     return {"image_proj": image_proj, "ip_adapter": layers}
+
+
+def infer_resampler_cfg(sd_or_path, *, dtype: Any = jnp.bfloat16):
+    """Resampler geometry from an IP-Adapter checkpoint's own shapes —
+    the same infer-from-keys policy as the UNet/VAE/CLIP/EViT loaders,
+    so non-SDXL adapters load without a hand-written preset. The one
+    non-inferable hyperparameter is the attention head size (the
+    checkpoint stores only heads*dim_head fused): the published
+    IP-Adapter/InstantID resamplers use dim_head=64 (reference:
+    src/ip_adapter/resampler.py:77), so 64 is used whenever the fused
+    width divides by it, with a 4-head fallback for small custom
+    adapters."""
+    from omg_tpu import config as cfglib
+    sd = (load_state_dict(sd_or_path) if isinstance(sd_or_path, str)
+          else _flatten_sd(sd_or_path))
+    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+        sd = sd["state_dict"]
+    try:
+        latents = np.asarray(sd["image_proj.latents"])
+        proj_in = np.asarray(sd["image_proj.proj_in.weight"])
+        proj_out = np.asarray(sd["image_proj.proj_out.weight"])
+        inner = np.asarray(sd["image_proj.layers.0.0.to_q.weight"]).shape[0]
+        ff_hidden = np.asarray(sd["image_proj.layers.0.1.1.weight"]).shape[0]
+    except KeyError as e:
+        raise ValueError(
+            f"not an IP-Adapter resampler checkpoint (missing {e})") from e
+    depth = 1 + max(int(k.split(".")[2]) for k in sd
+                    if k.startswith("image_proj.layers."))
+    dim = latents.shape[2]
+    dim_head = 64 if inner % 64 == 0 else max(inner // 4, 1)
+    return cfglib.ResamplerConfig(
+        dim=dim, depth=depth, dim_head=dim_head, heads=inner // dim_head,
+        num_queries=latents.shape[1], embedding_dim=proj_in.shape[1],
+        output_dim=proj_out.shape[0], ff_mult=ff_hidden // dim,
+        dtype=dtype)

@@ -164,6 +164,91 @@ def test_load_controlnet_geometry(tmp_path):
     assert len(down) == 4
 
 
+def test_cli_inference_instantid_end_to_end(fake_checkpoint, tmp_path,
+                                            monkeypatch):
+    """Drives cli.inference_instantid main() end-to-end on fabricated
+    tiny checkpoints: IdentityNet dir, a NESTED ip-adapter.bin (the real
+    diffusers layout — geometry inferred from its shapes), reference
+    face images via .arcface.npy/.kps.npy sidecars (insightface absent),
+    and the --cache_interval extension flag."""
+    import torch
+
+    from omg_tpu.cli import inference_instantid
+    from omg_tpu.models import controlnet as cn_lib
+    from tests.test_convert import _resampler_torch_sd
+
+    # IdentityNet: tiny ControlNet checkpoint dir
+    ccfg = cfglib.tiny_controlnet()
+    os.makedirs(tmp_path / "idnet")
+    _write_sd(str(tmp_path / "idnet" / "diffusion_pytorch_model.safetensors"),
+              cn_lib.init_params(jax.random.PRNGKey(0), ccfg))
+    with open(tmp_path / "idnet" / "config.json", "w") as f:
+        json.dump({
+            "block_out_channels": list(ccfg.unet.block_out_channels),
+            "layers_per_block": ccfg.unet.layers_per_block,
+            "transformer_layers_per_block":
+                list(ccfg.unet.transformer_layers_per_block),
+            "attention_head_dim": ccfg.unet.attention_head_dim,
+            "cross_attention_dim": ccfg.unet.cross_attention_dim,
+            "addition_time_embed_dim": ccfg.unet.addition_time_embed_dim,
+            "projection_class_embeddings_input_dim":
+                ccfg.unet.projection_class_embeddings_input_dim,
+            "norm_num_groups": ccfg.unet.norm_num_groups,
+            "conditioning_embedding_out_channels":
+                list(ccfg.conditioning_embedding_out_channels),
+        }, f)
+
+    # face adapter: nested .bin at tiny-resampler geometry
+    rs = cfglib.tiny_resampler()
+    rng = np.random.default_rng(2)
+    flat = _resampler_torch_sd(rs, rng)
+    nested = {
+        "image_proj": {k.split("image_proj.", 1)[1]: torch.from_numpy(v)
+                       for k, v in flat.items()},
+        "ip_adapter": {
+            f"{li}.to_{kv}_ip.weight": torch.from_numpy(
+                rng.standard_normal((8, rs.output_dim)).astype(np.float32))
+            for li in (1, 3, 5, 7) for kv in ("k", "v")},
+    }
+    adapter_path = str(tmp_path / "ip-adapter.bin")
+    torch.save(nested, adapter_path)
+
+    # reference face photo + host-analysis sidecars (the insightface-free
+    # path): embedding length == the adapter's own embedding_dim
+    import PIL.Image
+    ref = str(tmp_path / "face.png")
+    PIL.Image.fromarray(
+        (rng.random((32, 32, 3)) * 255).astype(np.uint8)).save(ref)
+    np.save(ref + ".arcface.npy",
+            rng.standard_normal(rs.embedding_dim).astype(np.float32))
+    np.save(ref + ".kps.npy",
+            np.array([[10, 12], [22, 12], [16, 18], [12, 24], [20, 24]],
+                     np.float32))
+
+    save_dir = str(tmp_path / "out")
+    monkeypatch.setattr(sys, "argv", [
+        "inference_instantid",
+        "--pretrained_model", fake_checkpoint,
+        "--controlnet_path", str(tmp_path / "idnet"),
+        "--face_adapter_path", adapter_path,
+        "--prompt", "photo of the man and the woman",
+        "--prompt_rewrite",
+        f"[photo of the man]-*-[ugly]-*-[{ref}]|"
+        f"[photo of the woman]-*-[ugly]-*-[{ref}]",
+        "--segment_type", "none",
+        "--save_dir", save_dir,
+        "--seed", "11",
+        "--num_steps", "2",
+        "--height", "32", "--width", "32",
+        "--cache_interval", "2",
+    ])
+    inference_instantid.main()
+    out = os.path.join(save_dir, "seed_11", "stage-1.png")
+    assert os.path.exists(out)
+    import PIL.Image as PImage
+    assert PImage.open(out).size == (32, 32)
+
+
 def test_cli_inference_lora_end_to_end(fake_checkpoint, tmp_path,
                                        monkeypatch):
     from omg_tpu.cli import inference_lora

@@ -227,6 +227,80 @@ def test_convert_ip_adapter_real_layout():
     assert len(out["ip_adapter"]) == 2
 
 
+def _resampler_torch_sd(cfg, rng):
+    """Torch-layout resampler state dict at ``cfg``'s geometry."""
+    inner = cfg.dim_head * cfg.heads
+
+    def r(*shape):
+        return rng.standard_normal(shape).astype(np.float32) * 0.05
+
+    sd = {
+        "image_proj.latents": r(1, cfg.num_queries, cfg.dim),
+        "image_proj.proj_in.weight": r(cfg.dim, cfg.embedding_dim),
+        "image_proj.proj_in.bias": r(cfg.dim),
+        "image_proj.proj_out.weight": r(cfg.output_dim, cfg.dim),
+        "image_proj.proj_out.bias": r(cfg.output_dim),
+        "image_proj.norm_out.weight": r(cfg.output_dim),
+        "image_proj.norm_out.bias": r(cfg.output_dim),
+    }
+    for i in range(cfg.depth):
+        p = f"image_proj.layers.{i}."
+        sd.update({
+            p + "0.norm1.weight": r(cfg.dim), p + "0.norm1.bias": r(cfg.dim),
+            p + "0.norm2.weight": r(cfg.dim), p + "0.norm2.bias": r(cfg.dim),
+            p + "0.to_q.weight": r(inner, cfg.dim),
+            p + "0.to_kv.weight": r(2 * inner, cfg.dim),
+            p + "0.to_out.weight": r(cfg.dim, inner),
+            p + "1.0.weight": r(cfg.dim), p + "1.0.bias": r(cfg.dim),
+            p + "1.1.weight": r(cfg.dim * cfg.ff_mult, cfg.dim),
+            p + "1.3.weight": r(cfg.dim, cfg.dim * cfg.ff_mult),
+        })
+    return sd
+
+
+def test_infer_resampler_cfg_tiny_and_sdxl():
+    """Geometry inference from checkpoint shapes (the loaders' policy):
+    the tiny preset and the real InstantID preset both round-trip."""
+    rng = np.random.default_rng(0)
+    for preset in (cfglib.tiny_resampler(), cfglib.instantid_resampler()):
+        sd = _resampler_torch_sd(preset, rng)
+        got = convert.infer_resampler_cfg(sd)
+        for f in ("dim", "depth", "dim_head", "heads", "num_queries",
+                  "embedding_dim", "output_dim", "ff_mult"):
+            assert getattr(got, f) == getattr(preset, f), (f, got, preset)
+    with pytest.raises(ValueError, match="resampler"):
+        convert.infer_resampler_cfg({"foo": np.zeros((1,))})
+
+
+def test_ip_adapter_nested_bin_layout(tmp_path):
+    """The real InstantID/IP-Adapter ``.bin`` nests TWO sub-state-dicts
+    ({"image_proj": {...}, "ip_adapter": {...}}, the diffusers format) —
+    conversion and geometry inference must flatten it, not silently
+    produce an empty tree."""
+    import torch
+    cfg = cfglib.tiny_resampler()
+    rng = np.random.default_rng(1)
+    flat = _resampler_torch_sd(cfg, rng)
+    nested = {
+        "image_proj": {k.split("image_proj.", 1)[1]: torch.from_numpy(v)
+                       for k, v in flat.items()},
+        "ip_adapter": {
+            f"{li}.to_{kv}_ip.weight": torch.from_numpy(
+                rng.standard_normal((8, cfg.output_dim))
+                .astype(np.float32))
+            for li in (1, 3) for kv in ("k", "v")},
+    }
+    path = str(tmp_path / "ip-adapter.bin")
+    torch.save(nested, path)
+    out = convert.convert_ip_adapter(path, dtype=jnp.float32)
+    assert len(out["ip_adapter"]) == 2
+    assert out["image_proj"]["latents"].shape == (1, cfg.num_queries,
+                                                  cfg.dim)
+    got = convert.infer_resampler_cfg(path)
+    assert got.output_dim == cfg.output_dim
+    assert got.heads == cfg.heads
+
+
 def test_clip_cfg_architectures_precedence(tmp_path):
     """A declared architectures list decides the projection head; the
     fallback's projection only applies when config.json is silent (the
