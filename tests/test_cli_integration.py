@@ -164,20 +164,9 @@ def test_load_controlnet_geometry(tmp_path):
     assert len(down) == 4
 
 
-def test_cli_inference_instantid_end_to_end(fake_checkpoint, tmp_path,
-                                            monkeypatch):
-    """Drives cli.inference_instantid main() end-to-end on fabricated
-    tiny checkpoints: IdentityNet dir, a NESTED ip-adapter.bin (the real
-    diffusers layout — geometry inferred from its shapes), reference
-    face images via .arcface.npy/.kps.npy sidecars (insightface absent),
-    and the --cache_interval extension flag."""
-    import torch
-
-    from omg_tpu.cli import inference_instantid
+def _write_idnet_dir(tmp_path):
+    """Tiny IdentityNet/ControlNet checkpoint dir -> its path."""
     from omg_tpu.models import controlnet as cn_lib
-    from tests.test_convert import _resampler_torch_sd
-
-    # IdentityNet: tiny ControlNet checkpoint dir
     ccfg = cfglib.tiny_controlnet()
     os.makedirs(tmp_path / "idnet")
     _write_sd(str(tmp_path / "idnet" / "diffusion_pytorch_model.safetensors"),
@@ -197,10 +186,16 @@ def test_cli_inference_instantid_end_to_end(fake_checkpoint, tmp_path,
             "conditioning_embedding_out_channels":
                 list(ccfg.conditioning_embedding_out_channels),
         }, f)
+    return str(tmp_path / "idnet")
 
-    # face adapter: nested .bin at tiny-resampler geometry
+
+def _write_adapter_bin(tmp_path, rng):
+    """NESTED ip-adapter.bin (the real diffusers layout) at the
+    tiny-resampler geometry -> its path."""
+    import torch
+
+    from tests.test_convert import _resampler_torch_sd
     rs = cfglib.tiny_resampler()
-    rng = np.random.default_rng(2)
     flat = _resampler_torch_sd(rs, rng)
     nested = {
         "image_proj": {k.split("image_proj.", 1)[1]: torch.from_numpy(v)
@@ -212,6 +207,22 @@ def test_cli_inference_instantid_end_to_end(fake_checkpoint, tmp_path,
     }
     adapter_path = str(tmp_path / "ip-adapter.bin")
     torch.save(nested, adapter_path)
+    return adapter_path
+
+
+def test_cli_inference_instantid_end_to_end(fake_checkpoint, tmp_path,
+                                            monkeypatch):
+    """Drives cli.inference_instantid main() end-to-end on fabricated
+    tiny checkpoints: IdentityNet dir, a NESTED ip-adapter.bin (the real
+    diffusers layout — geometry inferred from its shapes), reference
+    face images via .arcface.npy/.kps.npy sidecars (insightface absent),
+    and the --cache_interval extension flag."""
+    from omg_tpu.cli import inference_instantid
+
+    rng = np.random.default_rng(2)
+    idnet_dir = _write_idnet_dir(tmp_path)
+    adapter_path = _write_adapter_bin(tmp_path, rng)
+    rs = cfglib.tiny_resampler()
 
     # reference face photo + host-analysis sidecars (the insightface-free
     # path): embedding length == the adapter's own embedding_dim
@@ -229,7 +240,7 @@ def test_cli_inference_instantid_end_to_end(fake_checkpoint, tmp_path,
     monkeypatch.setattr(sys, "argv", [
         "inference_instantid",
         "--pretrained_model", fake_checkpoint,
-        "--controlnet_path", str(tmp_path / "idnet"),
+        "--controlnet_path", idnet_dir,
         "--face_adapter_path", adapter_path,
         "--prompt", "photo of the man and the woman",
         "--prompt_rewrite",
@@ -247,6 +258,45 @@ def test_cli_inference_instantid_end_to_end(fake_checkpoint, tmp_path,
     assert os.path.exists(out)
     import PIL.Image as PImage
     assert PImage.open(out).size == (32, 32)
+
+
+def test_cli_serve_end_to_end(fake_checkpoint, tmp_path, monkeypatch):
+    """Drives cli.serve main() — the full arg -> engine -> OMGServer
+    construction path (InstantID adapter with inferred resampler
+    geometry, IdentityNet dir, engine flags) — then a generate job
+    with a per-request cache_interval through the captured server."""
+    from omg_tpu.cli import serve as serve_cli
+    from omg_tpu.serving.server import OMGServer
+
+    rng = np.random.default_rng(3)
+    idnet_dir = _write_idnet_dir(tmp_path)
+    adapter_path = _write_adapter_bin(tmp_path, rng)
+
+    captured = {}
+
+    def fake_serve(self, host="127.0.0.1", port=0):
+        captured["server"] = self
+
+    monkeypatch.setattr(OMGServer, "serve", fake_serve)
+    monkeypatch.setattr(sys, "argv", [
+        "serve",
+        "--pretrained_sdxl_model", fake_checkpoint,
+        "--segment_type", "none",
+        "--face_adapter_path", adapter_path,
+        "--identitynet_path", idnet_dir,
+        "--num_steps", "2",
+    ])
+    serve_cli.main()
+    srv = captured["server"]
+    assert srv.instantid is not None
+    # geometry came from the checkpoint, not the SDXL preset
+    assert (srv.instantid.resampler_cfg.output_dim
+            == cfglib.tiny_resampler().output_dim)
+    res = srv.submit({"prompt": "photo of a cat",
+                      "prompt_rewrite": "[a cat]-*-[ugly]",
+                      "height": 32, "width": 32, "steps": 2,
+                      "cache_interval": 2, "seed": 4})
+    assert res["height"] == 32 and res["image"]
 
 
 def test_cli_inference_lora_end_to_end(fake_checkpoint, tmp_path,
