@@ -333,17 +333,10 @@ def main():
         del qparams
     dcN = int(os.environ.get("OMG_BENCH_DEEPCACHE_N", "3"))
     if exact_run and "deepcache" in drift_modes and dcN > 1:
-        # latents only — no need for one_generation's VAE decode here
-        # (drift_vs_exact decodes the deliverable rows itself)
-        _, cache_d = multiconcept.sample_stage1_cached(
-            cfg, sched, unet_params, key=jax.random.PRNGKey(5),
-            height=H, width=W, base_inputs=base,
-            fusion_start=fusion_start, cache_interval=dcN)
-        lat2_d = multiconcept.sample_stage2_resumed(
-            cfg, sched, unet_params, cache_d, base_inputs=base,
-            controller=ctl, concept_inputs=[concept, concept],
-            concept_loras=list(loras), masks=masks,
-            fusion_start=fusion_start, cache_interval=dcN)
+        # same program/args as the measured run (one_generation keeps
+        # the drift comparison in lockstep with what is benchmarked; the
+        # extra VAE decode it does is ~0.5 s of a ~22 s run)
+        *_, (lat2_d, _) = one_generation(cache_interval=dcN)
         deepcache_drift = dict(drift_vs_exact(lat2_d), interval=dcN,
                                measured="live")
     # merge: live measurements refresh the cache; cached values fill in

@@ -319,7 +319,8 @@ def convert_ip_adapter(sd_or_path, *, dtype: Any = jnp.bfloat16) -> dict:
     return {"image_proj": image_proj, "ip_adapter": layers}
 
 
-def infer_resampler_cfg(sd_or_path, *, dtype: Any = jnp.bfloat16):
+def infer_resampler_cfg(sd_or_path, *, dim_head: Optional[int] = None,
+                        dtype: Any = jnp.bfloat16):
     """Resampler geometry from an IP-Adapter checkpoint's own shapes —
     the same infer-from-keys policy as the UNet/VAE/CLIP/EViT loaders,
     so non-SDXL adapters load without a hand-written preset. The one
@@ -328,12 +329,17 @@ def infer_resampler_cfg(sd_or_path, *, dtype: Any = jnp.bfloat16):
     IP-Adapter/InstantID resamplers use dim_head=64 (reference:
     src/ip_adapter/resampler.py:77), so 64 is used whenever the fused
     width divides by it, with a 4-head fallback for small custom
-    adapters."""
+    adapters — pass ``dim_head`` explicitly for adapters whose true
+    split differs (the head grouping changes the softmax, so a wrong
+    split is silently wrong, not just a shape error)."""
     from omg_tpu import config as cfglib
-    sd = (load_state_dict(sd_or_path) if isinstance(sd_or_path, str)
-          else _flatten_sd(sd_or_path))
-    if "state_dict" in sd and isinstance(sd["state_dict"], dict):
-        sd = sd["state_dict"]
+    if isinstance(sd_or_path, str):
+        sd = load_state_dict(sd_or_path)
+    else:
+        sd = sd_or_path
+        if "state_dict" in sd and isinstance(sd["state_dict"], dict):
+            sd = sd["state_dict"]
+        sd = _flatten_sd(sd)
     try:
         latents = np.asarray(sd["image_proj.latents"])
         proj_in = np.asarray(sd["image_proj.proj_in.weight"])
@@ -346,7 +352,12 @@ def infer_resampler_cfg(sd_or_path, *, dtype: Any = jnp.bfloat16):
     depth = 1 + max(int(k.split(".")[2]) for k in sd
                     if k.startswith("image_proj.layers."))
     dim = latents.shape[2]
-    dim_head = 64 if inner % 64 == 0 else max(inner // 4, 1)
+    if dim_head is None:
+        dim_head = 64 if inner % 64 == 0 else max(inner // 4, 1)
+    if inner % dim_head != 0:
+        raise ValueError(
+            f"cannot factor the adapter's fused attention width {inner} "
+            f"into heads x dim_head={dim_head}; pass dim_head= explicitly")
     return cfglib.ResamplerConfig(
         dim=dim, depth=depth, dim_head=dim_head, heads=inner // dim_head,
         num_queries=latents.shape[1], embedding_dim=proj_in.shape[1],

@@ -219,6 +219,10 @@ class OMG:
         # None -> the engine default; the microbatcher buckets by it)
         eff_interval = (self.cache_interval if cache_interval is None
                         else int(cache_interval))
+        # <=1 means exact; normalize to 0 so an explicit "1" (or "0" on
+        # a DeepCache engine) shares the exact program's static jit key
+        # instead of recompiling a bit-identical one
+        eff_interval = eff_interval if eff_interval > 1 else 0
         if eff_interval > 1 and (self.mesh is not None or self.concept_crop):
             raise ValueError(
                 "cache_interval is exclusive with mesh and concept_crop "
@@ -546,7 +550,8 @@ class OMG:
 
         def _req_interval(r):
             v = r.get("cache_interval")
-            return self.cache_interval if v is None else int(v)
+            v = self.cache_interval if v is None else int(v)
+            return v if v > 1 else 0    # <=1 == exact (one jit key)
 
         # NOTE: named eff_interval (not ci) — the zero_ip scan below
         # rebinds a loop variable over ConceptInputs rows

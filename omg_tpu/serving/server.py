@@ -209,7 +209,7 @@ class OMGServer:
     # ------------------------------------------------------------- worker
 
     @staticmethod
-    def _bucket(job: dict):
+    def _bucket(job: dict, default_interval: int = 0):
         try:
             h = int(job.get("height", 1024))
             w = int(job.get("width", 1024))
@@ -219,12 +219,15 @@ class OMGServer:
             # requests batch with each other, never with euler ones.
             # Condition kind too — each kind is its own ControlNet weight
             # tree, and generate_batch requires one shared tree.
+            # DeepCache interval is compiled in: exact and shallow-step
+            # requests never share a program — keyed on the RESOLVED
+            # value (absent -> engine default, <=1 -> exact) so an
+            # explicit no-op field doesn't fragment the batch.
+            ci = job.get("cache_interval")
+            ci = default_interval if ci is None else int(ci)
             return (h, w, int(job.get("steps", 0)),
                     str(job.get("scheduler", "")),
-                    # DeepCache interval is compiled in: exact and
-                    # shallow-step requests never share a program
-                    int(job["cache_interval"])
-                    if job.get("cache_interval") is not None else None,
+                    ci if ci > 1 else 0,
                     str(job.get("condition", "")
                         if job.get("condition_image") else ""))
         except Exception:
@@ -232,6 +235,12 @@ class OMGServer:
             # surfaces from _generate with a real message instead of
             # killing the worker
             return object()
+
+    def _bucket_key(self, job: dict):
+        # resolve against THIS engine's default so "absent" and an
+        # explicit equal value land in the same bucket
+        return self._bucket(job, getattr(self.engine, "cache_interval",
+                                         0) or 0)
 
     def _batchable(self, job: dict) -> bool:
         # InstantID and spatial-condition jobs batch too (round 3:
@@ -255,7 +264,7 @@ class OMGServer:
                     # drain queued compatible LoRA-path jobs into one
                     # vmapped program
                     if self._batchable(item[0]):
-                        key = self._bucket(item[0])
+                        key = self._bucket_key(item[0])
                         while len(group) < self.max_batch:
                             try:
                                 nxt = self._work.get_nowait()
@@ -263,7 +272,7 @@ class OMGServer:
                                 break
                             if (isinstance(nxt, tuple)
                                     and self._batchable(nxt[0])
-                                    and self._bucket(nxt[0]) == key):
+                                    and self._bucket_key(nxt[0]) == key):
                                 group.append(nxt)
                             else:
                                 # incompatible: run it next, in order
@@ -285,11 +294,11 @@ class OMGServer:
             head = group[0]
             batch = [head]
             if self._batchable(head[0]):
-                key = self._bucket(head[0])
+                key = self._bucket_key(head[0])
                 while (len(batch) < self.max_batch
                        and len(batch) < len(group)
                        and self._batchable(group[len(batch)][0])
-                       and self._bucket(group[len(batch)][0]) == key):
+                       and self._bucket_key(group[len(batch)][0]) == key):
                     batch.append(group[len(batch)])
             group = group[len(batch):]
             if len(batch) == 1:

@@ -194,9 +194,9 @@ def _write_adapter_bin(tmp_path, rng):
     tiny-resampler geometry -> its path."""
     import torch
 
-    from tests.test_convert import _resampler_torch_sd
+    from conftest import resampler_torch_sd
     rs = cfglib.tiny_resampler()
-    flat = _resampler_torch_sd(rs, rng)
+    flat = resampler_torch_sd(rs, rng)
     nested = {
         "image_proj": {k.split("image_proj.", 1)[1]: torch.from_numpy(v)
                        for k, v in flat.items()},

@@ -227,35 +227,7 @@ def test_convert_ip_adapter_real_layout():
     assert len(out["ip_adapter"]) == 2
 
 
-def _resampler_torch_sd(cfg, rng):
-    """Torch-layout resampler state dict at ``cfg``'s geometry."""
-    inner = cfg.dim_head * cfg.heads
-
-    def r(*shape):
-        return rng.standard_normal(shape).astype(np.float32) * 0.05
-
-    sd = {
-        "image_proj.latents": r(1, cfg.num_queries, cfg.dim),
-        "image_proj.proj_in.weight": r(cfg.dim, cfg.embedding_dim),
-        "image_proj.proj_in.bias": r(cfg.dim),
-        "image_proj.proj_out.weight": r(cfg.output_dim, cfg.dim),
-        "image_proj.proj_out.bias": r(cfg.output_dim),
-        "image_proj.norm_out.weight": r(cfg.output_dim),
-        "image_proj.norm_out.bias": r(cfg.output_dim),
-    }
-    for i in range(cfg.depth):
-        p = f"image_proj.layers.{i}."
-        sd.update({
-            p + "0.norm1.weight": r(cfg.dim), p + "0.norm1.bias": r(cfg.dim),
-            p + "0.norm2.weight": r(cfg.dim), p + "0.norm2.bias": r(cfg.dim),
-            p + "0.to_q.weight": r(inner, cfg.dim),
-            p + "0.to_kv.weight": r(2 * inner, cfg.dim),
-            p + "0.to_out.weight": r(cfg.dim, inner),
-            p + "1.0.weight": r(cfg.dim), p + "1.0.bias": r(cfg.dim),
-            p + "1.1.weight": r(cfg.dim * cfg.ff_mult, cfg.dim),
-            p + "1.3.weight": r(cfg.dim, cfg.dim * cfg.ff_mult),
-        })
-    return sd
+from conftest import resampler_torch_sd as _resampler_torch_sd  # noqa: E402
 
 
 def test_infer_resampler_cfg_tiny_and_sdxl():

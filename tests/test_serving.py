@@ -455,6 +455,11 @@ def test_bucket_keys_on_cache_interval():
     c = OMGServer._bucket(dict(base, cache_interval=3))
     assert a != b
     assert b == c
+    # resolved against the engine default: absent == explicit-equal, and
+    # <=1 == exact — equivalent requests must share one vmapped program
+    assert OMGServer._bucket(dict(base), 3) == b
+    assert OMGServer._bucket(dict(base, cache_interval=1)) == a
+    assert OMGServer._bucket(dict(base, cache_interval=0)) == a
 
 
 def test_job_cache_interval_passthrough():
