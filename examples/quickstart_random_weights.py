@@ -51,6 +51,10 @@ def random_lora(seed, dim, rank=4):
 def main():
     cfg = sdxl.tiny_config()
     params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+    # Serving knobs (all optional): scheduler="lcm" + num_steps=8 for the
+    # few-step mode, concept_crop=True for strip-cropped concept lanes,
+    # cache_interval=3 for DeepCache, quantize="int8", mesh=... for the
+    # multi-chip latency layout — see examples/multichip_latency.py.
     engine = omg_tpu.OMG(
         cfg=cfg, params=params,
         tokenizer=ToyTokenizer(), tokenizer_2=ToyTokenizer(),
