@@ -381,6 +381,34 @@ class TestEngine:
         with pytest.raises(ValueError, match="bucket"):
             eng.generate_batch(reqs)
 
+    def test_composes_with_int8_quantize(self):
+        """int8 W8A8 + DeepCache are independent opt-ins that compose:
+        full steps run the quantized GEMMs, shallow steps touch only the
+        attention-free shallow level (no transformer GEMMs at this
+        geometry — same as SDXL's)."""
+        import omg_tpu
+        from omg_tpu.text.tokenizer import ToyTokenizer
+
+        def provider(image, cls):
+            m = np.zeros(image.shape[:2], np.float32)
+            half = image.shape[1] // 2
+            if cls == "man":
+                m[:, :half] = 1.0
+            else:
+                m[:, half:] = 1.0
+            return m
+
+        cfg = sdxl.tiny_config()
+        params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+        eng = omg_tpu.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                          tokenizer_2=ToyTokenizer(), mask_provider=provider,
+                          num_steps=4, quantize="int8", cache_interval=2)
+        r = eng.generate("the man and the woman",
+                         prompt_rewrite="[the man]-*-[b]|[the woman]-*-[b]",
+                         seed=3, height=H, width=W)
+        assert r.image.shape == (H, W, 3)
+        assert np.isfinite(np.asarray(r.image, np.float32)).all()
+
     def test_generate_batch_matches_serial_with_interval(self):
         """The vmapped batch path must apply the SAME cache schedule as
         serial generate (both stages thread engine.cache_interval)."""
