@@ -365,6 +365,7 @@ def main():
             if new_cache != drift_cache:
                 with open(drift_cache_path, "w") as f:
                     json.dump(new_cache, f, indent=2)
+                    f.write("\n")
         except Exception:
             pass
 
