@@ -249,3 +249,142 @@ def test_validate_image_body_runs_on_synthetic_detector():
     assert rec["sim_thresh_sweep"]["0.99"]["red"] is False
     assert rec["sim_thresh_sweep"]["0.1"]["red"] is True
     assert det.sim_thresh == 0.3   # restored after the sweep
+
+
+# --------------------------------------------------------------------------
+# Adversarial layouts (VERDICT r3 item 7): occlusion, empty scenes,
+# class ties, >2 candidates per class — weight-free via fixed embedders
+# (embed_image receives all crops in proposal order, so a constant
+# matrix pins each proposal's embedding exactly)
+# --------------------------------------------------------------------------
+
+def _props(boxes, h=64, w=96):
+    out = []
+    for x0, y0, x1, y1 in boxes:
+        m = np.zeros((h, w), bool)
+        m[int(y0):int(y1), int(x0):int(x1)] = True
+        out.append(Proposal(m, np.asarray([x0, y0, x1, y1], np.float32),
+                            0.9))
+    return lambda image: list(out)
+
+
+def _fixed_embeds(mat):
+    mat = np.asarray(mat, np.float32)
+    mat = mat / np.linalg.norm(mat, axis=-1, keepdims=True)
+    return lambda crops: mat
+
+
+def _fixed_texts(table):
+    def f(texts):
+        out = np.asarray([table[t] for t in texts], np.float32)
+        return out / np.linalg.norm(out, axis=-1, keepdims=True)
+    return f
+
+
+def test_overlap_fallback_to_next_candidate():
+    """Class B's TOP proposal overlaps class A's assignment; B must fall
+    back to its next-best non-overlapping proposal — not disappear (the
+    veto-to-None failure on crowded scenes)."""
+    proposer = _props([(0, 0, 40, 40),     # P0: A's best
+                       (8, 0, 48, 40),     # P1: B's best, IoU(P0)=0.67
+                       (60, 0, 96, 40)])   # P2: B's runner-up, disjoint
+    d = OpenVocabDetector(
+        proposer,
+        _fixed_embeds([[1, 0, 0], [0.6, 0.8, 0], [0, 0.5, 0.866]]),
+        _fixed_texts({"A": [1, 0, 0], "B": [0, 1, 0]}),
+        sim_thresh=0.3, crop_size=16)
+    img = _two_blob_image()
+    box_a = d(img, "A")
+    box_b = d(img, "B")
+    np.testing.assert_array_equal(box_a, [0, 0, 40, 40])
+    np.testing.assert_array_equal(box_b, [60, 0, 96, 40])
+
+
+def test_occluding_people_below_veto_both_assigned():
+    """OMG's headline case is occlusion: two people whose regions
+    moderately overlap (box IoU under the veto threshold) must BOTH get
+    assigned — overlapping masks are legal downstream (the reference's
+    fusion `+=` accumulates them, lora_pipeline.py:602)."""
+    # widths 40 and 40, inter 16 -> IoU 16/64 = 0.25 < 0.5 veto
+    proposer = _props([(0, 0, 40, 64), (24, 0, 64, 64)])
+    d = OpenVocabDetector(
+        proposer,
+        _fixed_embeds([[1, 0.1, 0], [0.1, 1, 0]]),
+        _fixed_texts({"man": [1, 0, 0], "woman": [0, 1, 0]}),
+        sim_thresh=0.3, crop_size=16)
+    img = _two_blob_image()
+    assert d(img, "man") is not None
+    assert d(img, "woman") is not None
+    masks = d.masks_for(img, ["man", "woman"])
+    assert all(m is not None for m in masks)
+    # the occluded strip belongs to both masks
+    assert np.logical_and(masks[0] > 0, masks[1] > 0).sum() > 0
+
+
+def test_person_free_image_detects_nothing():
+    """Zero proposals (e.g. a landscape): every class gets None and
+    masks_for degrades to all-None (upstream: stage 2 is skipped,
+    reference inference_lora.py:285)."""
+    d = OpenVocabDetector(lambda image: [],
+                          _fixed_embeds([[1, 0, 0]]),
+                          _fixed_texts({"man": [1, 0, 0]}),
+                          sim_thresh=0.3, crop_size=16)
+    img = _two_blob_image()
+    assert d(img, "man") is None
+    assert d.masks_for(img, ["man", "woman" if False else "man"]) \
+        == [None, None]
+
+
+def test_class_tie_first_query_wins_second_falls_back():
+    """Both classes' best proposal is the SAME region (a tie): the
+    first-queried class takes it; the second must fall back to its own
+    runner-up instead of sharing the region."""
+    proposer = _props([(0, 0, 40, 40),      # tie target
+                       (60, 0, 96, 40)])    # disjoint runner-up
+    shared = [1, 0, 0]
+    d = OpenVocabDetector(
+        proposer,
+        _fixed_embeds([shared, [0.5, 0.7, 0.51]]),
+        _fixed_texts({"man": [1, 0.01, 0], "woman": [1, 0, 0.01]}),
+        sim_thresh=0.3, crop_size=16)
+    img = _two_blob_image()
+    first = d(img, "man")
+    second = d(img, "woman")
+    np.testing.assert_array_equal(first, [0, 0, 40, 40])
+    np.testing.assert_array_equal(second, [60, 0, 96, 40])
+
+
+def test_many_candidates_per_class_picks_argmax():
+    """>2 plausible candidates for one class: assignment is by highest
+    similarity, and masks_for returns THAT proposal's mask (not the
+    first plausible one)."""
+    boxes = [(0, 0, 20, 20), (30, 0, 50, 20), (60, 0, 80, 20),
+             (0, 40, 20, 60)]
+    embeds = [[0.6, 0.8, 0], [0.8, 0.6, 0], [0.95, 0.31, 0],
+              [0.7, 0.71, 0]]   # all clear "A" sims; index 2 is max
+    d = OpenVocabDetector(
+        _props(boxes), _fixed_embeds(embeds),
+        _fixed_texts({"A": [1, 0, 0]}),
+        sim_thresh=0.3, crop_size=16)
+    img = _two_blob_image()
+    box = d(img, "A")
+    np.testing.assert_array_equal(box, [60, 0, 80, 20])
+    mask = d.masks_for(img, ["A"])[0]
+    assert mask[10, 70] == 1.0 and mask[10, 10] == 0.0
+
+
+def test_cli_rejects_unconsumed_dino_checkpoint(tmp_path, monkeypatch):
+    """An explicitly-set --dino_checkpoint with a non-GroundingDINO
+    segment type must error loudly, not print-and-ignore (VERDICT r3
+    weak #6: silently-noted dead flags trap users porting configs)."""
+    import sys
+
+    from omg_tpu.cli import inference_lora
+
+    monkeypatch.setattr(sys, "argv", [
+        "inference_lora",
+        "--dino_checkpoint", str(tmp_path / "dino"),
+        "--segment_type", "none",
+    ])
+    with pytest.raises(SystemExit, match="GroundingDINO"):
+        inference_lora.main()
