@@ -24,6 +24,19 @@ OMG.generate_batch — the batched half of BASELINE config #5 the
 reference's gradio app lacks (it serves strictly serially,
 gradio_demo/app.py:359-473). Incompatible or InstantID/ControlNet
 requests fall back to per-request execution.
+
+Robustness (the reference demo has none of this — bare
+``except: print("error")`` at app.py:471-473):
+  * the queue is BOUNDED (``max_queue``); a full queue rejects with
+    HTTP 429 instead of growing without bound,
+  * per-request timeout (``request_timeout`` or the job's own wait):
+    a timed-out waiter gets HTTP 504 and its job, if still queued, is
+    dropped before it wastes TPU time,
+  * a disconnected client's queued job is likewise abandoned,
+  * host-side preprocessing (face analysis, condition rendering) runs
+    in the SUBMITTER's thread, not the worker — so preparing request
+    N+1 overlaps the TPU compute of request N instead of serializing
+    behind it.
 """
 
 from __future__ import annotations
@@ -45,6 +58,19 @@ from omg_tpu.diffusion.schedulers import _KINDS as _SCHED_KINDS
 from omg_tpu.serving import conditions
 from omg_tpu.serving.registry import Registry
 from omg_tpu.utils.profiling import METRICS, trace
+
+
+class ServerBusy(RuntimeError):
+    """Bounded work queue is full — served as HTTP 429."""
+
+
+class RequestTimeout(TimeoutError):
+    """Waiter exceeded its deadline — served as HTTP 504; the job is
+    abandoned (skipped by the worker if it has not started yet)."""
+
+
+class RequestCancelled(RuntimeError):
+    """Client went away while waiting; the queued job is abandoned."""
 
 
 # Single-page UI with the reference demo's controls (gradio_demo/app.py
@@ -176,7 +202,9 @@ class OMGServer:
     def __init__(self, engine, registry: Optional[Registry] = None,
                  instantid=None, max_batch: int = 4,
                  face_provider=None, controlnets: Optional[dict] = None,
-                 pose_provider=None, depth_provider=None):
+                 pose_provider=None, depth_provider=None,
+                 max_queue: int = 32,
+                 request_timeout: Optional[float] = None):
         """``instantid``: optional pipelines.omg.InstantIDModels — enables
         the OMG+InstantID serving path (role of app_instantID.py):
         requests carry per-concept ``face_embeddings`` (512-d lists),
@@ -192,7 +220,11 @@ class OMGServer:
         ``pose_provider``/``depth_provider``: photo -> condition map
         callables (models/openpose.py BodyEstimator / models/dpt.py
         DepthEstimator); requests may then carry a raw ``condition_image``
-        photo exactly like the reference's upload flow (app.py:315-357)."""
+        photo exactly like the reference's upload flow (app.py:315-357).
+        ``max_queue``: backpressure bound — further submits get
+        ServerBusy (HTTP 429). ``request_timeout``: default per-request
+        deadline in seconds (None = wait forever); a job whose waiter
+        timed out or disconnected is dropped unless already running."""
         self.engine = engine
         self.instantid = instantid
         self.controlnets = controlnets or {}
@@ -201,8 +233,10 @@ class OMGServer:
         self.registry = registry or Registry()
         self.loras = self.registry.lora_cache(lora_lib.load_lora)
         self.max_batch = max(1, int(max_batch))
+        self.max_queue = max(1, int(max_queue))
+        self.request_timeout = request_timeout
         self.face_provider = face_provider
-        self._work: "queue.Queue" = queue.Queue()
+        self._work: "queue.Queue" = queue.Queue(maxsize=self.max_queue)
         self._worker = threading.Thread(target=self._run_worker, daemon=True)
         self._worker.start()
 
@@ -289,8 +323,17 @@ class OMGServer:
     def _run_group(self, group: list) -> None:
         """Execute (job, done) pairs: compatible batchable runs vmapped
         (in max_batch chunks), the rest individually. Resolves EVERY
-        done event, also on error."""
+        done event, also on error. Jobs whose waiter timed out or
+        disconnected (done["abandoned"]) are dropped before they cost
+        TPU time."""
         while group:
+            dropped = [d for _, d in group if d.get("abandoned")]
+            if dropped:
+                METRICS.count("abandoned_dropped", len(dropped))
+                group = [(j, d) for j, d in group
+                         if not d.get("abandoned")]
+                if not group:
+                    return
             head = group[0]
             batch = [head]
             if self._batchable(head[0]):
@@ -325,24 +368,79 @@ class OMGServer:
         # _condition_rendered, echoed back as the condition image)
         return {k: v for k, v in job.items() if not k.startswith("_")}
 
-    def submit(self, job: dict) -> dict:
+    def _prepare(self, job: dict) -> dict:
+        """Host-side preprocessing in the SUBMITTER's thread (face
+        analysis, condition rendering, prompt assembly): the prepared
+        OMG.generate kwargs ride along in job["_req"], so the worker
+        thread spends its time driving the TPU, and request N+1's
+        preprocessing overlaps request N's compute. Raises here (bad
+        scheduler, missing ControlNet, ...) surface immediately without
+        a queue round-trip."""
+        job = self._clean(job)
+        job["_req"] = self._job_to_request(job)
+        return job
+
+    def _wait(self, done: dict, deadline, cancelled) -> None:
+        """Wait for the worker until an optional absolute deadline with
+        an optional cancellation poll; mark the job abandoned when
+        giving up. ``deadline`` is time.time()-based (None = forever)."""
+        poll = None if (deadline is None and cancelled is None) else 0.25
+        while not done["event"].wait(poll):
+            if cancelled is not None and cancelled():
+                done["abandoned"] = True
+                METRICS.count("requests_cancelled")
+                raise RequestCancelled("client disconnected")
+            if deadline is not None and time.time() >= deadline:
+                done["abandoned"] = True
+                METRICS.count("request_timeouts")
+                raise RequestTimeout("request deadline exceeded")
+
+    def _deadline(self, timeout) -> Optional[float]:
+        timeout = self.request_timeout if timeout is None else timeout
+        return None if timeout is None else time.time() + float(timeout)
+
+    def submit(self, job: dict, timeout: Optional[float] = None,
+               cancelled=None) -> dict:
+        """Prepare, enqueue, and wait. ``timeout`` overrides the server
+        default; ``cancelled`` is a zero-arg callable polled while
+        waiting (True = give up and abandon the job)."""
         done = {"event": threading.Event()}
-        self._work.put((self._clean(job), done))
-        done["event"].wait()
+        try:
+            self._work.put_nowait((self._prepare(job), done))
+        except queue.Full:
+            METRICS.count("rejected_busy")
+            raise ServerBusy(
+                f"work queue is full ({self.max_queue} pending); "
+                f"retry later") from None
+        self._wait(done, self._deadline(timeout), cancelled)
         if "error" in done:
             raise RuntimeError(done["error"])
         return done["result"]
 
-    def submit_many(self, jobs: list) -> list:
+    def submit_many(self, jobs: list, timeout: Optional[float] = None,
+                    cancelled=None) -> list:
         """Run several jobs, batching compatible ones into one vmapped
         program (the reference demo's multi-prompt batch UI: up to four
         prompts per click, app.py). The group is enqueued as ONE item so
         batching does not race the idle worker."""
-        pairs = [(self._clean(job), {"event": threading.Event()})
+        pairs = [(self._prepare(job), {"event": threading.Event()})
                  for job in jobs]
-        self._work.put(list(pairs))
-        for _, done in pairs:
-            done["event"].wait()
+        try:
+            self._work.put_nowait(list(pairs))
+        except queue.Full:
+            METRICS.count("rejected_busy")
+            raise ServerBusy(
+                f"work queue is full ({self.max_queue} pending); "
+                f"retry later") from None
+        deadline = self._deadline(timeout)   # one deadline for the group
+        try:
+            for _, done in pairs:
+                self._wait(done, deadline, cancelled)
+        except (RequestTimeout, RequestCancelled):
+            for _, done in pairs:     # one deadline covers the group
+                if not done["event"].is_set():
+                    done["abandoned"] = True
+            raise
         bad = next((d["error"] for _, d in pairs if "error" in d), None)
         if bad is not None:
             raise RuntimeError(bad)
@@ -500,7 +598,10 @@ class OMGServer:
 
     def _generate(self, job: dict) -> dict:
         t0 = time.time()
-        req = self._job_to_request(job)
+        # submit() pre-builds the request in the caller's thread so the
+        # worker overlaps preprocessing with compute; direct callers
+        # (tests, embedding) without a _req still work
+        req = job.get("_req") or self._job_to_request(job)
         with trace("serve/generate"):
             result = self.engine.generate(req.pop("prompt"), **req)
         return self._payload(result, t0, req["height"], req["width"],
@@ -508,7 +609,7 @@ class OMGServer:
 
     def _generate_batch(self, jobs: list) -> list:
         t0 = time.time()
-        reqs = [self._job_to_request(j) for j in jobs]
+        reqs = [j.get("_req") or self._job_to_request(j) for j in jobs]
         with trace("serve/generate_batch"):
             results = self.engine.generate_batch(reqs)
         METRICS.count("batched_requests", len(jobs))
@@ -573,9 +674,26 @@ class OMGServer:
                     # non-200 when wedged so probes keying on the status
                     # code stop routing traffic here
                     self._send(200 if alive else 503, json.dumps(
-                        {"ok": alive, "queued": server._work.qsize()}))
+                        {"ok": alive, "queued": server._work.qsize(),
+                         "capacity": server.max_queue}))
                 else:
                     self._send(404, "{}")
+
+            def _client_gone(self):
+                """True once the client hung up: with the request body
+                fully read, a readable socket that peeks EOF means the
+                peer closed — poll this while waiting so a disconnected
+                client's queued job is abandoned, not computed."""
+                import select
+                import socket as socklib
+                try:
+                    r, _, _ = select.select([self.connection], [], [], 0)
+                    if not r:
+                        return False
+                    return self.connection.recv(
+                        1, socklib.MSG_PEEK) == b""
+                except (OSError, ValueError):
+                    return True
 
             def do_POST(self):
                 n = int(self.headers.get("Content-Length", 0))
@@ -602,10 +720,22 @@ class OMGServer:
                             seed = int(job.get("seed", 42))
                             jobs = [dict(job, prompt=p, seed=seed + i)
                                     for i, p in enumerate(prompts)]
-                            out = {"results": server.submit_many(jobs)}
+                            out = {"results": server.submit_many(
+                                jobs, cancelled=self._client_gone)}
                         else:
-                            out = server.submit(job)
+                            out = server.submit(
+                                job, cancelled=self._client_gone)
                         self._send(200, json.dumps(out))
+                    except ServerBusy as e:
+                        self._send(429, json.dumps({"error": str(e)}))
+                    except RequestTimeout as e:
+                        self._send(504, json.dumps({"error": str(e)}))
+                    except RequestCancelled:
+                        # the peer is gone; there is nobody to answer
+                        try:
+                            self.connection.close()
+                        except OSError:
+                            pass
                     except Exception as e:
                         self._send(500, json.dumps({"error": str(e)}))
                 elif self.path == "/generate_form":
@@ -627,7 +757,9 @@ class OMGServer:
                     self._send(404, "{}")
 
             def log_message(self, *a):
-                pass
+                # no per-request stdout spam; the signal lives in
+                # METRICS (surfaced at /metrics) instead of being lost
+                METRICS.count("http_requests")
 
         httpd = ThreadingHTTPServer((host, port), Handler)
         print(f"omg_tpu serving on http://{host}:{port}")
