@@ -1139,7 +1139,8 @@ def sample_stage1_cached(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("cfg", "i0", "fusion_start", "ip_scale_static"))
+    static_argnames=("cfg", "i0", "fusion_start", "ip_scale_static",
+                     "cn_cfg"))
 def _denoise_mc_range_traj_cropped(
         cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         unet_params: dict, latent_b: Array,
@@ -1148,7 +1149,9 @@ def _denoise_mc_range_traj_cropped(
         concept_inputs, concept_loras, masks, *, i0: int,
         concept_ip_adapters: tuple = (),
         fusion_start: int = regions.FUSION_START_STEP,
-        ip_scale_static: float = 1.0) -> Array:
+        ip_scale_static: float = 1.0,
+        base_controlnets: tuple = (),
+        cn_cfg=None) -> Array:
     """APPROXIMATE stage-2 suffix: concept lanes on fixed vertical strips.
 
     Opt-in serving mode (``concept_crop`` on sample_stage2_resumed /
@@ -1163,7 +1166,15 @@ def _denoise_mc_range_traj_cropped(
     NOT reference-exact: a concept UNet's self-attention and conv
     receptive field no longer see the other strip (cross-attention and
     the micro-conditioning are unchanged). Masks MUST be pre-clipped to
-    the strips by the caller; ControlNet lanes are unsupported here.
+    the strips by the caller.
+
+    ``base_controlnets``: spatial ControlNets on the BASE rows — they
+    run full-frame (the base rows are full-frame here), so their
+    residuals are exactly the exact program's; concept lanes never
+    consume base residuals in the exact program either
+    (_denoise_mc_range_traj pads them with zeros), so crop+base-CN
+    changes nothing about what the concept lanes see. Per-concept
+    ControlNets (IdentityNet) remain unsupported on the strip lanes.
     """
     K = len(concept_inputs)
     bidx = jnp.array([2, 1, 3])
@@ -1187,9 +1198,19 @@ def _denoise_mc_range_traj_cropped(
         # base forward: full-frame, exact P2P (src 0 / dst 2)
         ctrl = (controller.at_step(i, src_lane=0, dst_lane=2)
                 if controller is not None else None)
+        lanes_b = jnp.concatenate([lin_a, lin_b])
+        down_res = mid_res = None
+        if base_controlnets:
+            # 3-row layout [cond_A, uncond_B, cond_B]: rows 0 and 2 are
+            # the conditional CFG rows (same as _denoise_mc_range_traj)
+            down_res, mid_res = _controlnet_residuals(
+                base_controlnets, cn_cfg, lanes_b, t, b_embeds,
+                b_tembeds, b_tids, step_i=i, num_steps=sched.num_steps,
+                cond_rows=(0, 2))
         eps_base = unet.apply(
-            unet_params, cfg.unet, jnp.concatenate([lin_a, lin_b]), t,
-            b_embeds, text_embeds=b_tembeds, time_ids=b_tids, control=ctrl)
+            unet_params, cfg.unet, lanes_b, t,
+            b_embeds, text_embeds=b_tembeds, time_ids=b_tids, control=ctrl,
+            down_block_residuals=down_res, mid_block_residual=mid_res)
 
         # concept forward: 2K lanes at [h, w/K]
         lanes_c = jnp.concatenate([
@@ -1297,11 +1318,12 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     if concept_crop:
         K = len(concept_inputs)
         if (cache.a_traj is None or K == 0 or lane_sharding is not None
-                or any(c is not None for c in concept_controlnets)
-                or base_controlnets):
+                or any(c is not None for c in concept_controlnets)):
             raise ValueError(
                 "concept_crop requires the trajectory cache, >=1 "
-                "concept, no ControlNets, and no lane_sharding")
+                "concept, no per-concept ControlNets, and no "
+                "lane_sharding (base-row spatial ControlNets compose: "
+                "the base rows run full-frame)")
         # strips must divide the width AND survive the UNet's
         # downsample/upsample round trip (each level halves the width;
         # a strip width with odd intermediates breaks the skip-concat)
@@ -1311,7 +1333,8 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
             tuple(concept_loras), check_crop_strips(cfg, masks, K),
             i0=boundary, fusion_start=fusion_start,
             concept_ip_adapters=tuple(concept_ip_adapters),
-            ip_scale_static=ip_scale)
+            ip_scale_static=ip_scale,
+            base_controlnets=tuple(base_controlnets), cn_cfg=cn_cfg)
         return jnp.concatenate([cache.a_final, lat_b])
     if (cache.a_traj is not None and cache.a_traj.shape[0] > 0
             and lane_sharding is None and len(concept_inputs) > 0):

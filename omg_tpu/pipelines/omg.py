@@ -418,10 +418,13 @@ class OMG:
                 cn_cfg=self.cn_cfg,
                 lane_sharding=(lane_sharding
                                if len(region_specs) > 0 else None),
+                # base-row spatial ControlNets compose with crop (the
+                # base rows run full-frame — residuals are exact);
+                # per-concept IdentityNet rows still force the exact
+                # program (the strip lanes don't take CN residuals)
                 concept_crop=(self.concept_crop
                               and self.mesh is None
                               and len(region_specs) > 0
-                              and not base_cns
                               and not any(c is not None
                                           for c in concept_cns)
                               and multiconcept.crop_strips_ok(

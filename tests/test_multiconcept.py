@@ -484,6 +484,45 @@ def test_concept_crop_mode(setup):
     assert not np.array_equal(np.asarray(crop2[1]), np.asarray(exact2[1]))
 
 
+def test_concept_crop_with_base_controlnet(setup, cn_setup):
+    """crop + base-row spatial ControlNet (round-3 VERDICT item 4): the
+    base rows run full-frame, so the CN residuals are exactly the exact
+    program's — with zero masks (fusion no-op) crop+CN == exact+CN
+    end-to-end (this FAILS if the crop program drops the residuals);
+    with live masks it runs finite and copy A stays untouched."""
+    cfg, params, sched, base, concept, ctl = setup
+    cn_cfg, cn_params, _, cond, *_ = cn_setup
+    cn = (_make_cn(cn_params, cond, 0.7),)
+    _, cache = multiconcept.sample_stage1_cached(
+        cfg, sched, params, key=jax.random.PRNGKey(21), height=H, width=W,
+        base_inputs=base, fusion_start=1, base_controlnets=cn,
+        cn_cfg=cn_cfg)
+    kw = dict(cfg=cfg, sched=sched, unet_params=params, cache=cache,
+              base_inputs=base, controller=ctl,
+              concept_inputs=[concept, concept],
+              concept_loras=[None, None], fusion_start=1,
+              base_controlnets=cn, cn_cfg=cn_cfg)
+    zero = jnp.zeros((2, H // 8, W // 8), jnp.float32)
+    exact = multiconcept.sample_stage2_resumed(masks=zero, **kw)
+    crop = multiconcept.sample_stage2_resumed(masks=zero,
+                                              concept_crop=True, **kw)
+    np.testing.assert_allclose(np.asarray(crop), np.asarray(exact),
+                               atol=2e-4)
+
+    crop2 = multiconcept.sample_stage2_resumed(masks=_masks(),
+                                               concept_crop=True, **kw)
+    assert bool(jnp.isfinite(crop2).all())
+    np.testing.assert_array_equal(np.asarray(crop2[0]),
+                                  np.asarray(exact[0]))  # copy A
+
+    # per-concept ControlNets still refuse the strip program
+    with pytest.raises(ValueError, match="concept_crop requires"):
+        multiconcept.sample_stage2_resumed(
+            masks=_masks(), concept_crop=True,
+            concept_controlnets=(_make_cn(cn_params, cond, 0.5), None),
+            **kw)
+
+
 def test_concept_crop_rejects_unsupported(setup):
     cfg, params, sched, base, concept, ctl = setup
     _, cache = multiconcept.sample_stage1_cached(
