@@ -49,6 +49,12 @@ def main():
     else:
         cfg = sdxl.sdxl_config()
         H = W = 1024
+    # OMG_BENCH_H/OMG_BENCH_W: measure a non-square serving bucket
+    # (serving/conditions.py RESOLUTIONS, e.g. H=1216 W=832) — same
+    # workload at that canvas; the metric name records the geometry.
+    H = int(os.environ.get("OMG_BENCH_H", H))
+    W = int(os.environ.get("OMG_BENCH_W", W))
+    geom = "1024" if (H, W) == (1024, 1024) else f"{H}x{W}"
 
     key = jax.random.PRNGKey(0)
     unet_params = unet_lib.init_params(key, cfg.unet)
@@ -90,7 +96,7 @@ def main():
     concept = multiconcept.make_concept_inputs(ep, pp, en, pn, tids)
     ctl = p2p.P2PControl.build(["x", "x"], num_steps=steps,
                                self_replace_steps=0.4,
-                               width=H // 32, height=W // 32)
+                               width=W // 32, height=H // 32)
 
     # Two concept LoRAs at rank 32 on every attention projection of the
     # mid block + deepest down/up blocks (realistic character-LoRA cost).
@@ -209,7 +215,7 @@ def main():
         p50 = float(np.median(times))
         ipm = 60.0 * R / p50
         result = {
-            "metric": "omg_2concept_1024_50step_images_per_min_chip",
+            "metric": f"omg_2concept_{geom}_50step_images_per_min_chip",
             "value": round(ipm, 3),
             "unit": "images/min/chip",
             "vs_baseline": round(ipm / 12.0, 3),  # 12/min == 5 s/image
@@ -218,6 +224,7 @@ def main():
                 "batch_seconds": round(p50, 3),
                 "compile_s": round(compile_s, 1),
                 "size": size, "steps": steps,
+                "height": H, "width": W,
                 "scheduler": sched_name,
                 "concept_crop": "strips" if crop else None,
                 "deepcache_interval": dc_interval if dc_interval > 1
@@ -305,9 +312,12 @@ def main():
         drift_cache = {}
     drift_modes = os.environ.get("OMG_BENCH_DRIFT", "crop")
     # interval <= 1 compiles the exact program (use_cache needs > 1)
+    # (drift caches are 1024^2 measurements — don't refresh them from a
+    # non-square bucket run)
     exact_run = (quant_mode == "" and dc_interval <= 1
                  and os.environ.get("OMG_BENCH_CROP") != "strips"
-                 and sched_name == "euler" and size == "sdxl")
+                 and sched_name == "euler" and size == "sdxl"
+                 and (H, W) == (1024, 1024))
     crop_drift = int8_drift = deepcache_drift = None
     if exact_run and "crop" in drift_modes and \
             multiconcept.crop_strips_ok(cfg, W // 8, 2):
@@ -448,7 +458,7 @@ def main():
     except Exception:
         pass
     result = {
-        "metric": "omg_2concept_1024_50step_e2e_latency",
+        "metric": f"omg_2concept_{geom}_50step_e2e_latency",
         "value": round(p50, 3),
         "unit": "s",
         "vs_baseline": round(target_s / p50, 3),
@@ -477,6 +487,7 @@ def main():
             "int8_drift": int8_drift,
             "deepcache_drift": deepcache_drift,
             "size": size, "steps": steps,
+            "height": H, "width": W,
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
             "peak_hbm_gb": peak_gb,
