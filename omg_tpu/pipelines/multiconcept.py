@@ -597,9 +597,6 @@ def _cfg_range_impl(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                     cache_interval: int, record_traj: bool) -> tuple:
     """Shared body of _denoise_cfg_range / _denoise_cfg_range_traj."""
     use_cache = cache_interval > 1
-    if use_cache and spatial_sharding is not None:
-        raise ValueError("cache_interval and spatial_sharding are "
-                         "mutually exclusive")
     embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
     tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
     tids2 = base_inputs.time_ids[jnp.array([0, 2])]
@@ -647,6 +644,11 @@ def _cfg_range_impl(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                                 shared_batch_noise=True)
         if carry_sh is not None:
             x = jax.lax.with_sharding_constraint(x, carry_sh)
+            if use_cache:
+                # the branch-0 cache is [2B, h, w, C] NHWC like lin —
+                # pin it to the same (lane x seq) layout so the loop
+                # carry doesn't reshard between full and shallow steps
+                dc = jax.lax.with_sharding_constraint(dc, lin_sh)
         return ((x, st) + ((traj,) if record_traj else ())
                 + ((dc,) if use_cache else ()))
 
@@ -851,7 +853,7 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
 @functools.partial(
     jax.jit,
     static_argnames=("cfg", "i0", "fusion_start", "ip_scale_static",
-                     "cn_cfg", "lane_sharding"))
+                     "cn_cfg", "lane_sharding", "cache_interval"))
 def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                       unet_params: dict, latents: Array,
                       state: schedulers.SchedulerState,
@@ -862,7 +864,7 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                       ip_scale_static: float = 1.0,
                       base_controlnets: tuple = (),
                       concept_controlnets: tuple = (), cn_cfg=None,
-                      lane_sharding=None) -> Array:
+                      lane_sharding=None, cache_interval: int = 0) -> Array:
     """Stage-2 loop over steps [i0, num_steps), fully lane-merged.
 
     The base 4-row forward and the 2K concept-lane forward run as ONE
@@ -871,9 +873,20 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     P2P control addressing absolute lanes 2/3, per-lane ControlNet
     residuals) composes batch-wise, so this is numerically the
     sequential semantics with one dispatch and larger matmuls.
+
+    ``cache_interval > 1``: DeepCache over the 4+2K-lane program —
+    the branch-0 cache is per-lane, so it composes with lane_sharding
+    (the multi-chip latency mode) the same way every other per-lane
+    mechanism does; ControlNet forwards are skipped on shallow steps
+    like the 3+2K trajectory program's.
     """
     K = len(concept_inputs)
+    use_cache = cache_interval > 1
     if K == 0:
+        if use_cache:
+            raise ValueError(
+                "cache_interval on the 4+2K program needs >=1 concept "
+                "(zero-concept stage 2 takes the plain CFG path)")
         if lane_sharding is not None:
             # the lane-parallel latency mode shards the 4+2K lane batch;
             # with zero concepts there is nothing to shard and this path
@@ -937,7 +950,10 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
             ip_ctx = by_lane(ip_ctx)
 
     def body(i, carry):
-        x, st = carry                        # [2, h, w, 4]
+        if use_cache:
+            x, st, dc = carry                # x: [2, h, w, 4]
+        else:
+            x, st = carry
         t = sched.timesteps[i]
         lin4 = jnp.concatenate([x, x])
         lin4 = schedulers.scale_model_input(sched, lin4, i)
@@ -951,44 +967,66 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
             # local, with tiny row gathers at the P2P/fusion points.
             lanes = jax.lax.with_sharding_constraint(lanes, lane_sharding)
 
-        down_res = mid_res = None
-        if base_controlnets or any(c is not None
-                                   for c in concept_controlnets):
-            b_down = b_mid = None
-            if base_controlnets:
-                b_down, b_mid = _controlnet_residuals(
-                    base_controlnets, cn_cfg, lin4, t,
-                    base_inputs.prompt_embeds, base_inputs.text_embeds,
-                    base_inputs.time_ids, step_i=i,
-                    num_steps=sched.num_steps, cond_rows=(2, 3))
-            c_down = c_mid = None
-            if any(cn is not None for cn in concept_controlnets):
-                c_down, c_mid = _concept_cn_residuals(
-                    concept_controlnets, concept_inputs, lanes[4:], t,
-                    tembeds[4:], tids[4:], cn_cfg, step_i=i,
-                    num_steps=sched.num_steps)
-            # pad each side's residuals with zeros for the other's lanes
-            if b_down is None and c_down is not None:
-                b_down = [jnp.zeros((4,) + r.shape[1:], r.dtype)
-                          for r in c_down]
-                b_mid = jnp.zeros((4,) + c_mid.shape[1:], c_mid.dtype)
-            if c_down is None and b_down is not None:
-                c_down = [jnp.zeros((2 * K,) + r.shape[1:], r.dtype)
-                          for r in b_down]
-                c_mid = jnp.zeros((2 * K,) + b_mid.shape[1:], b_mid.dtype)
-            if b_down is not None:
-                down_res = [jnp.concatenate([b, c])
-                            for b, c in zip(b_down, c_down)]
-                mid_res = jnp.concatenate([b_mid, c_mid])
-
         ctrl = controller.at_step(i) if controller is not None else None
-        eps_all = unet.apply(
-            unet_params, cfg.unet, lanes, t, embeds,
-            text_embeds=tembeds, time_ids=tids,
-            lora=lane_lora, control=ctrl,
-            ip_adapter=ipk, ip_context=ip_ctx,
-            ip_scale=ip_scale_static,
-            down_block_residuals=down_res, mid_block_residual=mid_res)
+
+        def eps_full(want_cache):
+            down_res = mid_res = None
+            if base_controlnets or any(c is not None
+                                       for c in concept_controlnets):
+                b_down = b_mid = None
+                if base_controlnets:
+                    b_down, b_mid = _controlnet_residuals(
+                        base_controlnets, cn_cfg, lin4, t,
+                        base_inputs.prompt_embeds, base_inputs.text_embeds,
+                        base_inputs.time_ids, step_i=i,
+                        num_steps=sched.num_steps, cond_rows=(2, 3))
+                c_down = c_mid = None
+                if any(cn is not None for cn in concept_controlnets):
+                    c_down, c_mid = _concept_cn_residuals(
+                        concept_controlnets, concept_inputs, lanes[4:], t,
+                        tembeds[4:], tids[4:], cn_cfg, step_i=i,
+                        num_steps=sched.num_steps)
+                # pad each side's residuals with zeros for the other's
+                # lanes
+                if b_down is None and c_down is not None:
+                    b_down = [jnp.zeros((4,) + r.shape[1:], r.dtype)
+                              for r in c_down]
+                    b_mid = jnp.zeros((4,) + c_mid.shape[1:], c_mid.dtype)
+                if c_down is None and b_down is not None:
+                    c_down = [jnp.zeros((2 * K,) + r.shape[1:], r.dtype)
+                              for r in b_down]
+                    c_mid = jnp.zeros((2 * K,) + b_mid.shape[1:],
+                                      b_mid.dtype)
+                if b_down is not None:
+                    down_res = [jnp.concatenate([b, c])
+                                for b, c in zip(b_down, c_down)]
+                    mid_res = jnp.concatenate([b_mid, c_mid])
+
+            return unet.apply(
+                unet_params, cfg.unet, lanes, t, embeds,
+                text_embeds=tembeds, time_ids=tids,
+                lora=lane_lora, control=ctrl,
+                ip_adapter=ipk, ip_context=ip_ctx,
+                ip_scale=ip_scale_static,
+                down_block_residuals=down_res, mid_block_residual=mid_res,
+                return_cache=want_cache)
+
+        if use_cache:
+            # DeepCache: full forward (incl. ControlNets + P2P edits)
+            # every cache_interval-th step; shallow resume otherwise.
+            eps_all, dc = _deepcache_cond(
+                i, i0, cache_interval, dc, eps_full,
+                lambda c: unet.apply_shallow(
+                    unet_params, cfg.unet, lanes, t, embeds,
+                    text_embeds=tembeds, time_ids=tids, lora=lane_lora,
+                    ip_adapter=ipk, ip_context=ip_ctx,
+                    ip_scale=ip_scale_static, control=ctrl, cache=c))
+            if lane_sharding is not None:
+                # per-lane cache [4+2K, h, w, C] — keep each lane's
+                # cache on its lane's chip across the carry
+                dc = jax.lax.with_sharding_constraint(dc, lane_sharding)
+        else:
+            eps_all = eps_full(False)
 
         eps = eps_all[:4]
         region_preds = eps_all[4:].reshape((K, 2) + lanes.shape[1:])
@@ -996,9 +1034,14 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         eps = regions.fuse_region_noise(
             eps, region_preds, masks.astype(eps.dtype), active=active)
         guided = sampling.cfg_combine(eps, base_inputs.guidance_scale)
-        return schedulers.step(sched, st, guided, i, x,
-                               shared_batch_noise=True)
+        x, st = schedulers.step(sched, st, guided, i, x,
+                                shared_batch_noise=True)
+        return (x, st, dc) if use_cache else (x, st)
 
+    carry0 = (latents, state)
+    if use_cache:
+        carry0 += (_deepcache_zeros(cfg, 4 + 2 * K,
+                                    *latents.shape[1:3]),)
     if lane_sharding is not None:
         # shard_map the flash kernel over the lane axis while tracing the
         # loop body — GSPMD can't partition a Pallas custom call, so
@@ -1008,12 +1051,10 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         from omg_tpu.ops import flash_attention as fa
         with fa.lane_sharded(lane_sharding.mesh, lane_sharding.spec[0],
                              interpret=jax.default_backend() != "tpu"):
-            x, _ = jax.lax.fori_loop(i0, sched.num_steps, body,
-                                     (latents, state))
+            out = jax.lax.fori_loop(i0, sched.num_steps, body, carry0)
     else:
-        x, _ = jax.lax.fori_loop(i0, sched.num_steps, body,
-                                 (latents, state))
-    return x
+        out = jax.lax.fori_loop(i0, sched.num_steps, body, carry0)
+    return out[0]
 
 
 def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
@@ -1290,9 +1331,12 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                           cache_interval: int = 0) -> Array:
     """Stage 2 resumed from the cached pre-fusion boundary -> [2, h, w, 4].
 
-    ``cache_interval > 1``: DeepCache over the 3+2K-lane program
-    (approximate, opt-in; requires the trajectory fast path — raises on
-    the crop/lane-sharded/4-row layouts).
+    ``cache_interval > 1``: DeepCache (approximate, opt-in) on whichever
+    lane program runs — the 3+2K trajectory path, the 4-row fallback,
+    or the lane-sharded 4+2K multi-chip program (the branch-0 cache is
+    per-lane, so it shards with the lanes). Raises only with
+    concept_crop (the strip program has no shallow variant) or zero
+    concepts.
 
     Single-chip, the 3+2K-lane trajectory-fed program runs whenever the
     cache carries copy A's recorded trajectory (see StageCache). Under
@@ -1308,13 +1352,12 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     validate_concept_controlnets(concept_controlnets)
     boundary = min(fusion_start + 1, sched.num_steps)
     st = cache.sched_state
-    if cache_interval > 1 and (
-            concept_crop or lane_sharding is not None
-            or cache.a_traj is None or len(concept_inputs) == 0):
+    if cache_interval > 1 and (concept_crop or len(concept_inputs) == 0):
         raise ValueError(
-            "cache_interval requires the 3+2K trajectory fast path "
-            "(no concept_crop, no lane_sharding, a_traj recorded, "
-            ">=1 concept)")
+            "cache_interval needs a full-frame concept program "
+            "(no concept_crop, >=1 concept) — it runs on the 3+2K "
+            "trajectory path, the 4-row fallback, or the lane-sharded "
+            "4+2K mesh program")
     if concept_crop:
         K = len(concept_inputs)
         if (cache.a_traj is None or K == 0 or lane_sharding is not None
@@ -1363,7 +1406,7 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         ip_scale_static=ip_scale,
         base_controlnets=tuple(base_controlnets),
         concept_controlnets=tuple(concept_controlnets), cn_cfg=cn_cfg,
-        lane_sharding=lane_sharding)
+        lane_sharding=lane_sharding, cache_interval=cache_interval)
 
 
 # --------------------------------------------------------------------------

@@ -114,11 +114,13 @@ class OMG:
                 "concept_crop and mesh are mutually exclusive (the "
                 "strip program is single-chip; the lane-parallel mode "
                 "keeps the power-of-two 4+2K layout)")
-        if self.cache_interval > 1 and (self.mesh is not None
-                                        or self.concept_crop):
+        if self.cache_interval > 1 and self.concept_crop:
             raise ValueError(
-                "cache_interval is exclusive with mesh and concept_crop "
-                "(the shallow program is single-chip, full-frame)")
+                "cache_interval is exclusive with concept_crop (the "
+                "strip program has no shallow variant); it composes "
+                "with mesh — the shallow path spatially shards in "
+                "stage 1 and the per-lane cache shards with the lanes "
+                "in stage 2")
 
     # --------------------------------------------------- mesh placements
 
@@ -223,10 +225,10 @@ class OMG:
         # a DeepCache engine) shares the exact program's static jit key
         # instead of recompiling a bit-identical one
         eff_interval = eff_interval if eff_interval > 1 else 0
-        if eff_interval > 1 and (self.mesh is not None or self.concept_crop):
+        if eff_interval > 1 and self.concept_crop:
             raise ValueError(
-                "cache_interval is exclusive with mesh and concept_crop "
-                "(the shallow program is single-chip, full-frame)")
+                "cache_interval is exclusive with concept_crop (the "
+                "strip program has no shallow variant); mesh composes")
         key = jax.random.PRNGKey(seed)
 
         # --- conditioning ---------------------------------------------

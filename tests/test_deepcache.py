@@ -298,7 +298,7 @@ class TestLoopIntegration:
         _, cache = multiconcept.sample_stage1_cached(
             cfg, sched, params, key=jax.random.PRNGKey(6), height=H,
             width=W, base_inputs=base, fusion_start=1)
-        with pytest.raises(ValueError, match="trajectory fast path"):
+        with pytest.raises(ValueError, match="full-frame concept program"):
             multiconcept.sample_stage2_resumed(
                 cfg, sched, params, cache, base_inputs=base,
                 controller=ctl, concept_inputs=[concept, concept],

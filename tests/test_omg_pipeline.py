@@ -456,6 +456,36 @@ def test_generate_mesh_matches_single_device(engine):
                                    err_msg=f"stage2 at {hw}px {rw!r}")
 
 
+def test_generate_mesh_deepcache_matches_single_device(engine):
+    """mesh x cache_interval composition at the ENGINE level (the
+    pipeline-level equality tests run uncommitted weights, which GSPMD
+    partitions differently — see test_generate_mesh_matches_single_device's
+    padding-miscompute note): OMG(mesh=..., cache_interval=2).generate()
+    must reproduce the single-device DeepCache engine's images."""
+    from omg_tpu.parallel import mesh as mesh_lib
+
+    eng, _ = engine
+    mesh_eng = omg_lib.OMG(cfg=eng.cfg, params=eng.params,
+                           tokenizer=eng.tokenizer,
+                           tokenizer_2=eng.tokenizer_2,
+                           mask_provider=eng.mask_provider, num_steps=4,
+                           cache_interval=2,
+                           mesh=mesh_lib.make_latency_mesh(8))
+    kw = dict(negative_prompt="bad",
+              prompt_rewrite="[the man]-*-[b]|[the woman]-*-[b]",
+              seed=13, height=64, width=64)
+    got = mesh_eng.generate("the man and the woman", **kw)
+    # per-request override on the exact single-device engine: the same
+    # DeepCache program, unsharded
+    want = eng.generate("the man and the woman", num_steps=4,
+                        cache_interval=2, **kw)
+    np.testing.assert_allclose(got.stage1.astype(np.int32),
+                               want.stage1.astype(np.int32), atol=1)
+    assert got.stage2 is not None and want.stage2 is not None
+    np.testing.assert_allclose(got.stage2.astype(np.int32),
+                               want.stage2.astype(np.int32), atol=1)
+
+
 def test_generate_batch_matches_serial_instantid_controlnet(engine):
     """Round-3 batched serving (BASELINE config #5's full batched half):
     one InstantID request and one spatial-ControlNet request batched as
