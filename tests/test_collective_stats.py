@@ -89,3 +89,48 @@ class TestHistogram:
         hist = cs.collective_shape_histogram(SYNC_HLO)
         assert hist[0]["op"] == "all-gather"
         assert hist[0]["mb_total"] > hist[-1]["mb_total"]
+
+
+class TestStageBoundaryDelta:
+    """tools/aot_v5e8.stage_boundary_delta isolates the stage-boundary
+    reshard of the combined two-stage artifact as the per-op
+    outside-loop delta of combined vs the two stage programs."""
+
+    @staticmethod
+    def _outside(by_op):
+        tot = {"count": sum(r["count"] for r in by_op.values()),
+               "bytes": sum(r["bytes"] for r in by_op.values()),
+               "by_op": by_op}
+        return {"outside_body": tot}
+
+    def test_delta_isolates_reshard(self):
+        from tools.aot_v5e8 import stage_boundary_delta
+        s1 = self._outside({"all-reduce": {"count": 2, "bytes": 100}})
+        s2 = self._outside({"collective-permute": {"count": 1,
+                                                   "bytes": 50}})
+        comb = self._outside({
+            "all-reduce": {"count": 2, "bytes": 100},
+            "collective-permute": {"count": 1, "bytes": 50},
+            # the boundary: one extra all-gather the parts don't have
+            "all-gather": {"count": 1, "bytes": 131072}})
+        rep = {"stage1_spatial": s1, "stage2_lane": s2,
+               "combined_two_stage": comb}
+        d = stage_boundary_delta(rep)
+        assert d["bytes"] == 131072
+        assert d["by_op"] == {"all-gather": {"count": 1, "bytes": 131072}}
+        assert d["outside_bytes_combined_vs_parts"] == [131222, 100, 50]
+
+    def test_missing_program_returns_none(self):
+        from tools.aot_v5e8 import stage_boundary_delta
+        assert stage_boundary_delta({"stage1_spatial": {}}) is None
+
+    def test_negative_deltas_clamp(self):
+        from tools.aot_v5e8 import stage_boundary_delta
+        s1 = self._outside({"all-reduce": {"count": 4, "bytes": 400}})
+        s2 = self._outside({})
+        comb = self._outside({"all-reduce": {"count": 1, "bytes": 90}})
+        d = stage_boundary_delta(
+            {"stage1_spatial": s1, "stage2_lane": s2,
+             "combined_two_stage": comb})
+        assert d["bytes"] == 0 and d["count"] == 0
+        assert d["by_op"] == {}

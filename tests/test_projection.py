@@ -99,6 +99,24 @@ class TestProject:
         assert half["stage1_collective_ms"] == pytest.approx(
             2 * full["stage1_collective_ms"], abs=1e-3)
 
+    def test_stage_boundary_added_once(self):
+        """The combined-artifact boundary reshard is a per-IMAGE cost:
+        it must enter the total exactly once, not per step."""
+        c = _colls()
+        c["stage_boundary"] = {
+            "count": 2, "bytes": 4.0e8,
+            "by_op": {"all-gather": {"count": 2, "bytes": 4.0e8}}}
+        base = pv.project(_probe(), _colls())
+        out = pv.project(_probe(), c)
+        want_ms = 4.0e8 * (7 / 8) / 2.0e11 * 1e3
+        assert out["stage_boundary_ms"] == pytest.approx(want_ms,
+                                                         abs=1e-3)
+        assert out["v5e8_projection_s"] == pytest.approx(
+            base["v5e8_projection_s"] + want_ms / 1e3, abs=0.015)
+        # per-step terms untouched
+        assert out["stage1_step_ms"] == base["stage1_step_ms"]
+        assert out["stage2_step_ms"] == base["stage2_step_ms"]
+
     def test_sharded_vae_branch(self):
         p = _probe()
         p.update({"vae_chip_slab_ms": 50.0, "vae_attn_full_ms": 1.2,
@@ -161,6 +179,9 @@ def test_shipped_measured_json_is_consistent():
         colls["vae_spatial"] = {
             "per_decode":
                 rec["inputs"]["collectives"]["vae_spatial_per_decode"]}
+    if "stage_boundary" in rec["inputs"]["collectives"]:
+        colls["stage_boundary"] = \
+            rec["inputs"]["collectives"]["stage_boundary"]
     out = pv.project(probe, colls)
     if "vae_spatial" not in colls and "vae_chip_slab_ms" in probe:
         # recorded run sharded the VAE but didn't store its collective

@@ -93,6 +93,35 @@ def _report_program(name, compiled, report, loop: bool = True):
           flush=True)
 
 
+def stage_boundary_delta(report: dict) -> dict | None:
+    """Stage-boundary reshard (VERDICT round-3 item 3): in the combined
+    artifact the boundary collectives are the ones OUTSIDE both loop
+    bodies beyond what the two stage programs already carry outside
+    their own loops (prologue conditioning pins etc.), so the per-op
+    delta isolates the reshard the engine performs between the stages
+    (omg.py generate(): device_put cache -> replicated)."""
+    keys = ("stage1_spatial", "stage2_lane", "combined_two_stage")
+    if not all(k in report for k in keys):
+        return None
+    comb = report["combined_two_stage"]["outside_body"]
+    parts = [report[k]["outside_body"] for k in keys[:2]]
+    by_op = {}
+    for op in comb.get("by_op", {}):
+        d_bytes = comb["by_op"][op]["bytes"] - sum(
+            p.get("by_op", {}).get(op, {}).get("bytes", 0) for p in parts)
+        d_count = comb["by_op"][op]["count"] - sum(
+            p.get("by_op", {}).get(op, {}).get("count", 0) for p in parts)
+        if d_bytes > 0 or d_count > 0:
+            by_op[op] = {"count": max(d_count, 0), "bytes": max(d_bytes, 0)}
+    return {
+        "bytes": max(comb["bytes"] - sum(p["bytes"] for p in parts), 0),
+        "count": max(comb["count"] - sum(p["count"] for p in parts), 0),
+        "by_op": by_op,
+        "outside_bytes_combined_vs_parts": [
+            comb["bytes"], parts[0]["bytes"], parts[1]["bytes"]],
+    }
+
+
 def main():
     from omg_tpu.parallel import mesh as mesh_lib
 
@@ -119,11 +148,14 @@ def main():
     only = os.environ.get("OMG_AOT_ONLY", "")
 
     for name, loop in (("stage1_spatial", True), ("stage2_lane", True),
-                       ("vae_spatial", False)):
+                       ("vae_spatial", False),
+                       ("combined_two_stage", True),
+                       ("request_dp", True)):
         if only in ("", name.split("_")[0]):
             print(f"AOT-compiling {name} ({TOPOLOGY})...", flush=True)
             _report_program(name, progs[name]().compile(), report,
                             loop=loop)
+
 
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "v5e8_aot.json")
@@ -145,11 +177,17 @@ def main():
         if same_run:
             report = {**prev, **{k: v for k, v in report.items()
                                  if k in ("stage1_spatial", "stage2_lane",
-                                          "vae_spatial")}}
+                                          "vae_spatial",
+                                          "combined_two_stage",
+                                          "request_dp")}}
         else:
             print(f"note: existing {path} is from a different "
                   f"topology/size run — writing the partial report "
                   f"without merging", file=sys.stderr)
+    boundary = stage_boundary_delta(report)
+    if boundary is not None:
+        report["stage_boundary"] = boundary
+        print("stage_boundary", json.dumps(boundary), flush=True)
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {path}")

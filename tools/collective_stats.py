@@ -257,10 +257,107 @@ def lower_programs(sp_mesh, flat_mesh, size: str) -> dict:
             cfg, _sds(vae_sds, rep2), lat_dec,
             spatial_sharding=dec_sharding)
 
+    # ---- combined two-stage: stage 1 spatial -> reshard -> stage 2 ---
+    # VERDICT round-3 item 3: the full mesh-latency program as ONE
+    # artifact, so the stage-boundary reshard (the engine's
+    # device_put-to-replicated of the cache at omg.py generate(),
+    # expressed in-program as a with_sharding_constraint) is
+    # compiled-and-counted instead of asserted, and the two meshes
+    # (stage-1 (2, N/2) spatial, stage-2 flat lane) are proven to
+    # compose inside one executable over the same device assignment.
+    # Loop bodies stay 2 iterations each (same reason as above); the
+    # boundary collectives land OUTSIDE both loop bodies, so
+    # outside_body(combined) - outside(stage1) - outside(stage2)
+    # isolates the reshard bytes.
+    def lower_combined():
+        def combined(params, lat0, st0, base1, base2, ctl_in, concepts,
+                     masks):
+            lat1, st1 = multiconcept._denoise_cfg_range(
+                cfg, sched, params, lat0, st0, base1, i0=0, i1=2,
+                spatial_sharding=spatial)
+            # stage boundary: replicate the cache over the flat lane
+            # mesh (omg.py generate() does this with device_put between
+            # the two jit calls; inside one program it is the same
+            # logical movement)
+            lat1 = jax.lax.with_sharding_constraint(lat1, rep2)
+            st1 = jax.tree.map(
+                lambda x: jax.lax.with_sharding_constraint(x, rep2), st1)
+            lat4 = multiconcept.duplicate_latents(lat1)
+            st4 = schedulers.SchedulerState(
+                prev_model_output=jnp.concatenate(
+                    [st1.prev_model_output, st1.prev_model_output]),
+                step_count=st1.step_count, key=st1.key)
+            return multiconcept._denoise_mc_range(
+                cfg, sched, params, lat4, st4, base2, ctl_in, concepts,
+                (None,) * K, masks, i0=S - 2, fusion_start=S - 3,
+                lane_sharding=lane)
+
+        lat0_sds = jax.ShapeDtypeStruct((1, h, w, 4), dt, sharding=rep2)
+        st0_sds = schedulers.SchedulerState(
+            jax.ShapeDtypeStruct((1, h, w, 4), jnp.float32, sharding=rep2),
+            jax.ShapeDtypeStruct((), jnp.int32, sharding=rep2),
+            jax.ShapeDtypeStruct((2,), jnp.uint32, sharding=rep2))
+        base1_sds = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep2),
+            base_sds)
+        return jax.jit(combined).lower(
+            _sds(params_sds, rep2), lat0_sds, st0_sds, base1_sds,
+            base2_sds, ctl_sds, (concept_sds,) * K, masks_sds)
+
+    # ---- request-DP throughput: R = N requests one-per-chip ----------
+    # VERDICT round-3 item 2: the serving THROUGHPUT layout (bench.py's
+    # chunked two_stage_latents, PARITY §6 measured rates) compiled for
+    # the v5e-8 topology. FORM: shard_map over the request axis — each
+    # chip runs the complete single-chip program (Pallas flash kernel
+    # included) on its local request; GSPMD cannot auto-partition the
+    # Mosaic kernel across a vmapped batch ("Mosaic kernels cannot be
+    # automatically partitioned"), so jit(vmap) with a sharded batch is
+    # NOT compilable at this topology and the shard_map form is the one
+    # a real slice runs. The artifact's evidentiary role: (a) the DP
+    # program compiles at v5e:2x4, (b) its steady-state ICI traffic is
+    # zero (no step-body collectives -> the single-chip measured rate
+    # transfers per-chip 1:1), (c) per-chip memory fits HBM. LoRA lanes
+    # are omitted (comm-structure-neutral; the measured single-chip
+    # rates that supply the TIME input include them).
+    def lower_request_dp():
+        from jax import shard_map
+        n = flat_mesh.devices.size
+        reqP = P(mesh_lib.DATA_AXIS)
+        lane_req = NamedSharding(flat_mesh, reqP)
+
+        def chip_fn(up, l0_loc, k_loc, base1, concepts, masks):
+            return jax.vmap(
+                lambda l0, kk: multiconcept.two_stage_latents(
+                    cfg, sched, up, l0, base1, ctl, concepts,
+                    (None,) * K, masks,
+                    fusion_start=S - 3, noise_key=kk))(l0_loc, k_loc)
+
+        def dp(up, lat0_r, keys_r, base1, concepts, masks):
+            # replicated conditioning rides in_specs P() prefixes
+            # (shard_map can't close over traced values)
+            return shard_map(
+                chip_fn, mesh=flat_mesh,
+                in_specs=(P(), reqP, reqP, P(), P(), P()),
+                out_specs=(reqP, reqP), check_vma=False)(
+                    up, lat0_r, keys_r, base1, concepts, masks)
+
+        lat0_sds = jax.ShapeDtypeStruct((n, 1, h, w, 4), dt,
+                                        sharding=lane_req)
+        keys_sds = jax.ShapeDtypeStruct((n, 2), jnp.uint32,
+                                        sharding=lane_req)
+        base1_sds = jax.tree.map(
+            lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=rep2),
+            base_sds)
+        return jax.jit(dp).lower(
+            _sds(params_sds, rep2), lat0_sds, keys_sds, base1_sds,
+            (concept_sds,) * K, masks_sds)
+
     return {"meta": {"size": size, "height": H, "width": W},
             "stage1_spatial": lower_stage1,
             "stage2_lane": lower_stage2,
-            "vae_spatial": lower_vae}
+            "vae_spatial": lower_vae,
+            "combined_two_stage": lower_combined,
+            "request_dp": lower_request_dp}
 
 
 def once_totals(per_comp: dict) -> dict:
@@ -320,6 +417,29 @@ def main():
             "per_decode": once_totals(collectives_by_computation(txt))}
         print(json.dumps(report["vae_spatial"], indent=2), flush=True)
 
+    if only in ("", "combined"):
+        print("compiling combined two-stage program (2+2 steps)...",
+              flush=True)
+        txt = progs["combined_two_stage"]().compile().as_text()
+        report["combined_two_stage"] = step_body_totals(
+            collectives_by_computation(txt))
+        report["combined_two_stage"]["shape_histogram"] = \
+            collective_shape_histogram(txt)
+        print(json.dumps(report["combined_two_stage"], indent=2),
+              flush=True)
+
+    if only == "request":
+        # opt-in (the full two-stage program per chip is the heaviest
+        # CPU compile of the set); the expected result is an EMPTY
+        # step-body — request-DP moves no bytes between chips
+        print("compiling request-DP throughput program...", flush=True)
+        txt = progs["request_dp"]().compile().as_text()
+        report["request_dp"] = step_body_totals(
+            collectives_by_computation(txt))
+        report["request_dp"]["shape_histogram"] = \
+            collective_shape_histogram(txt)
+        print(json.dumps(report["request_dp"], indent=2), flush=True)
+
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                         "v5e8_collectives.json")
     if size == "tiny" and os.path.exists(path):
@@ -330,11 +450,13 @@ def main():
                     path = path.replace(".json", ".tiny.json")
         except Exception:
             pass
-    if only in ("stage2", "vae") and os.path.exists(path):
+    if (only in ("stage2", "vae", "combined", "request")
+            and os.path.exists(path)):
         with open(path) as f:
             prev = json.load(f)
         report = {**prev, **{k: report[k] for k in report
-                             if k in ("stage2_lane", "vae_spatial")}}
+                             if k in ("stage2_lane", "vae_spatial",
+                                      "combined_two_stage", "request_dp")}}
     with open(path, "w") as f:
         json.dump(report, f, indent=2)
     print(f"wrote {path}")
