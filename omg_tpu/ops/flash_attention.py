@@ -138,7 +138,13 @@ def flash_attention_sharded(q: Array, k: Array, v: Array, *, mesh, axis: str,
                      out_specs=spec, check_vma=False)(q, k, v)
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float):
+def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float,
+                  kv_len: int = 0):
+    """``kv_len > 0``: only the first kv_len keys are real — the tail of
+    the (padded-to-tile) KV block is masked to -inf before the softmax.
+    Masking only ever bites in the LAST kv block (padding is a tail),
+    so the running max is finite from block 0 and the online softmax
+    stays NaN-free."""
     q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
     n_kv = k_ref.shape[1]
     bq, d = q.shape
@@ -155,6 +161,9 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float):
             q, k.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)       # [BQ, BK]
+        if kv_len:
+            col = i * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
+            s = jnp.where(col < kv_len, s, -jnp.inf)
         m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         corr = jnp.exp(m - m_new)
@@ -167,13 +176,37 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float):
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
 @functools.partial(jax.jit, static_argnames=("bq", "bk", "interpret"))
 def flash_attention(q: Array, k: Array, v: Array, *,
                     bq: int = DEFAULT_BQ, bk: int = DEFAULT_BK,
                     interpret: bool = False) -> Array:
-    """Dense softmax attention. q: [B, H, Nq, D], k/v: [B, H, Nk, D]."""
+    """Dense softmax attention. q: [B, H, Nq, D], k/v: [B, H, Nk, D].
+
+    Non-128-aligned sequence lengths (the serving aspect buckets:
+    1216x832 gives self-attention at 3952/988 tokens) are padded to the
+    TPU tile here — padded KEYS are masked to -inf inside the kernel
+    (``kv_len``; exactness is parity-tested vs XLA sdpa at odd
+    lengths), padded QUERY rows compute discarded output. Before this,
+    use_flash() refused unaligned shapes and the whole bucket fell back
+    to XLA sdpa — the dominant share of the measured 29% bucket
+    slowdown (PARITY §6 round-4 bucket row)."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
+    # pad to a multiple of the preferred block, not just the 128 tile:
+    # 3952 -> 3968 = 31x128 (31 prime) would force bq=bk=128 and lose
+    # the tuned 512/1024 tiling; 3952 -> 4096 wastes 3.6% masked FLOPs
+    # but keeps the fast blocks
+    nq_p = _round_up(nq, 512 if nq >= 512 else 128)
+    nk_p = _round_up(nk, 512 if nk >= 512 else 128)
+    kv_len = nk if nk_p != nk else 0
+    if nq_p != nq or nk_p != nk:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, nq_p - nq), (0, 0)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, nk_p - nk), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, nk_p - nk), (0, 0)))
 
     def pick(n, pref):
         for cand in (pref, 1024, 512, 256, 128):
@@ -185,38 +218,41 @@ def flash_attention(q: Array, k: Array, v: Array, *,
     #   nq=1024: bq=512/bk=1024 -> 0.29 ms vs 1.95 ms XLA (6.7x)
     # (bq=1024/bk=2048 is ~1.6% faster standalone at 4096 but overflows
     # the compiler's VMEM budget inside the full stage-2 program.)
-    bq_ = pick(nq, bq)
-    bk_ = pick(nk, bk)
+    bq_ = pick(nq_p, bq)
+    bk_ = pick(nk_p, bk)
     scale = d ** -0.5
 
     TRACE_STATS["flash_calls"] += 1
-    qf = q.reshape(b * h, nq, d)
-    kf = k.reshape(b * h, nk, d)
-    vf = v.reshape(b * h, nk, d)
+    qf = q.reshape(b * h, nq_p, d)
+    kf = k.reshape(b * h, nk_p, d)
+    vf = v.reshape(b * h, nk_p, d)
 
     out = pl.pallas_call(
-        functools.partial(_flash_kernel, bk=bk_, scale=scale),
-        grid=(b * h, nq // bq_),
+        functools.partial(_flash_kernel, bk=bk_, scale=scale,
+                          kv_len=kv_len),
+        grid=(b * h, nq_p // bq_),
         in_specs=[
             pl.BlockSpec((1, bq_, d), lambda ib, iq: (ib, iq, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, d), lambda ib, iq: (ib, 0, 0),
+            pl.BlockSpec((1, nk_p, d), lambda ib, iq: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, nk, d), lambda ib, iq: (ib, 0, 0),
+            pl.BlockSpec((1, nk_p, d), lambda ib, iq: (ib, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, bq_, d), lambda ib, iq: (ib, iq, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b * h, nq, d), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((b * h, nq_p, d), q.dtype),
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
-            flops=4 * b * h * nq * nk * d,
-            bytes_accessed=(b * h * (nq + 2 * nk) * d * q.dtype.itemsize
-                            + b * h * nq * d * q.dtype.itemsize),
-            transcendentals=b * h * nq * nk,
+            flops=4 * b * h * nq_p * nk_p * d,
+            bytes_accessed=(b * h * (nq_p + 2 * nk_p) * d
+                            * q.dtype.itemsize
+                            + b * h * nq_p * d * q.dtype.itemsize),
+            transcendentals=b * h * nq_p * nk_p,
         ),
     )(qf, kf, vf)
-    return out.reshape(b, h, nq, d)
+    out = out.reshape(b, h, nq_p, d)
+    return out[:, :, :nq] if nq_p != nq else out
 
 
 def use_flash(nq: int, nk: int, head_dim: int, *,
@@ -237,8 +273,11 @@ def use_flash(nq: int, nk: int, head_dim: int, *,
         if seq_local:
             return nq >= 1 and nk >= 4 and nk % 4 == 0
         return nq == nk and nq >= 4 and nq % 4 == 0
+    # alignment is no longer required: flash_attention pads unaligned
+    # sequences to the 128 tile and masks the padded keys in-kernel
+    # (the aspect buckets' 3952/988-token self-attentions previously
+    # fell back to XLA sdpa here)
     if seq_local:
-        return (nq >= 256 and nq % 128 == 0 and nk % 128 == 0
-                and head_dim in (64, 128))
-    return (nq == nk and nq >= 1024 and nq % 128 == 0
+        return nq >= 256 and head_dim in (64, 128)
+    return (nq == nk and _round_up(nq, 128) >= 1024
             and head_dim in (64, 128))
