@@ -196,12 +196,18 @@ def flash_attention(q: Array, k: Array, v: Array, *,
     slowdown (PARITY §6 round-4 bucket row)."""
     b, h, nq, d = q.shape
     nk = k.shape[2]
-    # pad to a multiple of the preferred block, not just the 128 tile:
-    # 3952 -> 3968 = 31x128 (31 prime) would force bq=bk=128 and lose
-    # the tuned 512/1024 tiling; 3952 -> 4096 wastes 3.6% masked FLOPs
-    # but keeps the fast blocks
-    nq_p = _round_up(nq, 512 if nq >= 512 else 128)
-    nk_p = _round_up(nk, 512 if nk >= 512 else 128)
+    # 128-aligned shapes run natively (pick() finds a dividing block —
+    # e.g. 3840 at the 1536x640 bucket takes 256-blocks unpadded).
+    # UNALIGNED shapes pad to a multiple of the preferred block, not
+    # just the 128 tile: 3952 -> 3968 = 31x128 (31 prime) would force
+    # bq=bk=128 and lose the tuned 512/1024 tiling; 3952 -> 4096 wastes
+    # 3.6% masked FLOPs but keeps the fast blocks.
+    def _pad_len(n: int) -> int:
+        if n % 128 == 0:
+            return n
+        return _round_up(n, 512 if n >= 512 else 128)
+
+    nq_p, nk_p = _pad_len(nq), _pad_len(nk)
     kv_len = nk if nk_p != nk else 0
     if nq_p != nq or nk_p != nk:
         q = jnp.pad(q, ((0, 0), (0, 0), (0, nq_p - nq), (0, 0)))
