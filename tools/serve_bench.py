@@ -1,0 +1,210 @@
+"""On-chip serving-STACK benchmark: requests through the real OMGServer.
+
+bench.py's throughput mode times the bare compute (direct
+multiconcept.two_stage_latents calls, pre-built embeddings, final-image
+decode only). This tool times the same 2-concept 50-step workload
+through the full serving stack instead — HTTP, JSON, queue +
+microbatched drain, CLIP text encode, stage-1 decode + host mask
+provider, fp32 VAE decodes, PNG encode — i.e. what a client actually
+observes (role of the reference's gradio serve loop,
+/root/reference/gradio_demo/app.py:359-473, which serves strictly
+serially; ours microbatches).
+
+Weights are random at real SDXL geometry (no checkpoints in this
+image); the mask provider is a host-instant strip stub, so SAM's
+179 ms encode (PARITY §6) is the one serving cost not included.
+
+Measures:
+  1. single-request latency through the server (client wall seconds)
+  2. multi-prompt throughput: ONE POST with R prompts -> submit_many
+     -> microbatched chunks of max_batch (default 2, the same no-OOM
+     chunk policy bench.py uses) -> img/min/chip
+  3. R concurrent single-request POSTs (queue-drain batching path)
+
+Usage (real chip):  python tools/serve_bench.py
+Env: OMG_SERVE_R (default 4), OMG_SERVE_CHUNK (2), OMG_SERVE_REPS (2),
+     OMG_SERVE_SIZE=tiny for a CPU smoke run.
+"""
+
+import json
+import os
+import socket
+import sys
+import threading
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _free_port() -> int:
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def main():
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/omg_tpu_jax_cache")
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+    except Exception:
+        pass
+    import numpy as np
+
+    from omg_tpu.pipelines import omg as omg_lib
+    from omg_tpu.pipelines import sdxl
+    from omg_tpu.serving.registry import Registry
+    from omg_tpu.serving.server import OMGServer
+    from omg_tpu.text.tokenizer import ToyTokenizer
+
+    size = os.environ.get("OMG_SERVE_SIZE", "sdxl")
+    if size == "tiny":
+        jax.config.update("jax_platforms", "cpu")
+        cfg = sdxl.tiny_config()
+        H = W = 32
+        steps = 2
+    else:
+        cfg = sdxl.sdxl_config()
+        H = W = 1024
+        steps = 50
+    R = int(os.environ.get("OMG_SERVE_R", "4"))
+    chunk = int(os.environ.get("OMG_SERVE_CHUNK", "2"))
+    reps = int(os.environ.get("OMG_SERVE_REPS", "2"))
+
+    params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+
+    def provider(image, cls):
+        # host-instant strip stub (detection itself is measured
+        # separately: SAM xl1 encode 179 ms + decode 6.6 ms, PARITY §6)
+        m = np.zeros(image.shape[:2], np.float32)
+        if hash(cls) % 2:
+            m[:, : image.shape[1] // 2] = 1.0
+        else:
+            m[:, image.shape[1] // 2:] = 1.0
+        return m
+
+    engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                         tokenizer_2=ToyTokenizer(), mask_provider=provider,
+                         num_steps=steps)
+    srv = OMGServer(engine, Registry(), max_batch=chunk)
+    port = _free_port()
+    threading.Thread(target=srv.serve, args=("127.0.0.1", port),
+                     daemon=True).start()
+    time.sleep(0.5)
+    url = f"http://127.0.0.1:{port}/generate"
+
+    def post(payload: dict, timeout: float = 3600.0) -> dict:
+        req = urllib.request.Request(
+            url, data=json.dumps(payload).encode(),
+            headers={"Content-Type": "application/json"})
+        with urllib.request.urlopen(req, timeout=timeout) as r:
+            return json.loads(r.read())
+
+    rewrite = "[photo of a man]-*-[ugly]|[photo of a woman]-*-[ugly]"
+
+    def job(i: int) -> dict:
+        return {"prompt": f"two people at the beach {i}",
+                "prompt_rewrite": rewrite, "seed": 100 + i,
+                "height": H, "width": W}
+
+    multi = dict(job(0), prompts=[f"two people at the beach {i}"
+                                  for i in range(R)])
+    del multi["prompt"]
+
+    # ---- warmup: compile every program the timed rounds will hit
+    t0 = time.time()
+    post(job(0))
+    t_compile_single = time.time() - t0
+    print(f"warmup single done ({t_compile_single:.1f} s)", flush=True)
+    t0 = time.time()
+    post(multi)
+    t_compile_multi = time.time() - t0
+    print(f"warmup multi done ({t_compile_multi:.1f} s)", flush=True)
+
+    # ---- 1. single-request latency
+    lat = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = post(job(1))
+        lat.append(time.time() - t0)
+        server_s = out["seconds"]
+    lat_s = min(lat)
+    print(f"single-request client latency {lat_s:.2f} s "
+          f"(server-measured {server_s:.2f} s)", flush=True)
+
+    # ---- 2. multi-prompt throughput (one POST, R prompts, chunks of
+    # max_batch via submit_many)
+    tp = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = post(multi)
+        tp.append(time.time() - t0)
+        assert len(out["results"]) == R
+    tp_s = min(tp)
+    tp_ipm = R / tp_s * 60.0
+    print(f"multi-prompt R={R} chunk={chunk}: {tp_s:.2f} s "
+          f"-> {tp_ipm:.2f} img/min/chip", flush=True)
+
+    # ---- 3. R concurrent single-request POSTs (queue-drain batching)
+    conc = []
+    for _ in range(reps):
+        results = [None] * R
+
+        def one(i):
+            t0 = time.time()
+            post(job(i))
+            results[i] = time.time() - t0
+
+        t0 = time.time()
+        ts = [threading.Thread(target=one, args=(i,)) for i in range(R)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        conc.append(time.time() - t0)
+    conc_s = min(conc)
+    conc_ipm = R / conc_s * 60.0
+    print(f"concurrent R={R} POSTs: {conc_s:.2f} s "
+          f"-> {conc_ipm:.2f} img/min/chip", flush=True)
+
+    with urllib.request.urlopen(
+            f"http://127.0.0.1:{port}/metrics") as r:
+        metrics = json.loads(r.read())
+
+    record = {
+        "what": "serving-stack throughput through OMGServer over HTTP "
+                "(2-concept, euler, random weights, strip-stub masks)",
+        "geometry": f"{H}x{W}", "steps": steps, "requests": R,
+        "max_batch": chunk, "reps": reps,
+        "warmup_single_s": round(t_compile_single, 2),
+        "warmup_multi_s": round(t_compile_multi, 2),
+        "single_request_latency_s": round(lat_s, 3),
+        "single_request_server_s": round(server_s, 3),
+        "multi_prompt_wall_s": round(tp_s, 3),
+        "multi_prompt_img_per_min_chip": round(tp_ipm, 3),
+        "concurrent_wall_s": round(conc_s, 3),
+        "concurrent_img_per_min_chip": round(conc_ipm, 3),
+        "metrics": metrics,
+        "note": "compare vs bench.py OMG_BENCH_MODE=throughput "
+                "(bare compute, 2.70 img/min/chip round-2): the delta "
+                "is the serving stack (text encode, stage-1 decode + "
+                "mask provider, extra fp32 decodes, PNG, HTTP/queue).",
+    }
+    out_path = os.path.join(os.path.dirname(__file__), "bench_records",
+                            f"r4_serving_http_{H}x{W}.json")
+    if size == "sdxl":
+        with open(out_path, "w") as f:
+            json.dump(record, f, indent=1)
+            f.write("\n")
+        print(f"wrote {out_path}", flush=True)
+    print(json.dumps({k: v for k, v in record.items()
+                      if k not in ("metrics", "what", "note")}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
