@@ -141,10 +141,14 @@ def flash_attention_sharded(q: Array, k: Array, v: Array, *, mesh, axis: str,
 def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float,
                   kv_len: int = 0):
     """``kv_len > 0``: only the first kv_len keys are real — the tail of
-    the (padded-to-tile) KV block is masked to -inf before the softmax.
-    Masking only ever bites in the LAST kv block (padding is a tail),
-    so the running max is finite from block 0 and the online softmax
-    stays NaN-free."""
+    the (padded-to-tile) KV range is masked to -inf before the softmax.
+    Padding is a tail, so only blocks past kv_len // bk can contain it:
+    the loop is split at that (static) boundary and the all-real prefix
+    blocks run the unmasked fast path — no per-block VPU mask work for
+    provably all-true masks (e.g. 3 of 4 blocks at 3952->4096/bk=1024).
+    The masked tail still sees >=1 real key per row (kv_len > full*bk),
+    so its block max is finite and the online softmax stays NaN-free
+    even when the tail is the first block executed (kv_len < bk)."""
     q = q_ref[0].astype(jnp.float32) * scale          # [BQ, D]
     n_kv = k_ref.shape[1]
     bq, d = q.shape
@@ -153,26 +157,35 @@ def _flash_kernel(q_ref, k_ref, v_ref, o_ref, *, bk: int, scale: float,
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc0 = jnp.zeros((bq, d), jnp.float32)
 
-    def body(i, carry):
-        m, l, acc = carry
-        k = k_ref[0, pl.ds(i * bk, bk), :]            # [BK, D]
-        v = v_ref[0, pl.ds(i * bk, bk), :]
-        s = jax.lax.dot_general(
-            q, k.astype(jnp.float32),
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)       # [BQ, BK]
-        if kv_len:
-            col = i * bk + jax.lax.broadcasted_iota(jnp.int32, (bq, bk), 1)
-            s = jnp.where(col < kv_len, s, -jnp.inf)
-        m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        corr = jnp.exp(m - m_new)
-        l_new = l * corr + p.sum(axis=-1, keepdims=True)
-        acc_new = acc * corr + jnp.dot(
-            p, v.astype(jnp.float32), preferred_element_type=jnp.float32)
-        return m_new, l_new, acc_new
+    def make_body(masked: bool):
+        def body(i, carry):
+            m, l, acc = carry
+            k = k_ref[0, pl.ds(i * bk, bk), :]        # [BK, D]
+            v = v_ref[0, pl.ds(i * bk, bk), :]
+            s = jax.lax.dot_general(
+                q, k.astype(jnp.float32),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)   # [BQ, BK]
+            if masked:
+                col = i * bk + jax.lax.broadcasted_iota(
+                    jnp.int32, (bq, bk), 1)
+                s = jnp.where(col < kv_len, s, -jnp.inf)
+            m_new = jnp.maximum(m, s.max(axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            corr = jnp.exp(m - m_new)
+            l_new = l * corr + p.sum(axis=-1, keepdims=True)
+            acc_new = acc * corr + jnp.dot(
+                p, v.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            return m_new, l_new, acc_new
+        return body
 
-    _, l, acc = jax.lax.fori_loop(0, n_kv // bk, body, (m0, l0, acc0))
+    n_blocks = n_kv // bk
+    full = kv_len // bk if kv_len else n_blocks   # all-real prefix blocks
+    carry = jax.lax.fori_loop(0, full, make_body(False), (m0, l0, acc0))
+    if full < n_blocks:
+        carry = jax.lax.fori_loop(full, n_blocks, make_body(True), carry)
+    _, l, acc = carry
     o_ref[0] = (acc / l).astype(o_ref.dtype)
 
 
@@ -285,5 +298,15 @@ def use_flash(nq: int, nk: int, head_dim: int, *,
     # fell back to XLA sdpa here)
     if seq_local:
         return nq >= 256 and head_dim in (64, 128)
+    # GATE CHANGE (round 4): _round_up(nq, 128) >= 1024 instead of
+    # nq >= 1024, so nq in [897, 1023] pads to 1024 and takes the
+    # kernel. The lengths that actually occur there are the aspect
+    # buckets' level-2 self-attentions — 988 (1216x832/832x1216,
+    # measured: 4.60 vs 5.44 ms XLA at b=8 h=20), 960 (1536x640), and
+    # 1008 (1152x896/1344x768 families) — all with <=6.7% masked
+    # FLOPs, comfortably inside 988's measured 15% margin. Arbitrary
+    # UNMEASURED lengths near 897 pay up to ~14% masked FLOPs and
+    # could invert the win; if a non-bucket workload lives there,
+    # re-measure before trusting this gate.
     return (nq == nk and _round_up(nq, 128) >= 1024
             and head_dim in (64, 128))

@@ -15,7 +15,10 @@ API:
        "character1"/"character2": registry names (or "prompt_rewrite"),
        "style": name | "", "seed": int, "height": int, "width": int,
        "guidance_scale": float, "steps": int}
-    response: {"image": base64 PNG, "stage1": base64 PNG, "seconds": float}
+    response: {"image": base64 PNG, "stage1": base64 PNG, "seconds": float,
+               "stage2_ran": bool (False = "image" is the stage-1
+               fallback because no concept mask was found),
+               "masks_found": [bool per concept]}
 
 Requests are processed by a single worker thread that DRAINS the queue:
 up to ``max_batch`` compatible LoRA-path requests (same resolution
@@ -586,11 +589,26 @@ class OMGServer:
             return base64.b64encode(buf.getvalue()).decode()
 
         METRICS.count("images_generated")
+        if result.stage2 is None:
+            # the stage-1 fallback is reference semantics (no mask ->
+            # stage 2 skipped, inference_lora.py:285) but in production
+            # it is a silent quality incident — count it so /metrics and
+            # load tests see the rate, and tell the client below
+            METRICS.count("stage2_skipped")
         out = {
             "image": png_b64(result.image),
             "stage1": png_b64(result.stage1[1]),
             "seconds": round(time.time() - t0, 3),
             "height": height, "width": width,
+            # Stage-2 status: "image" silently falls back to stage 1
+            # when no concept mask was found (reference semantics,
+            # inference_lora.py:285); a client must be able to tell a
+            # fused two-stage result from that fallback (round-4
+            # post-mortem: a benchmark recorded stage-1-only latencies
+            # as the two-stage workload because nothing in the response
+            # said stage 2 never ran).
+            "stage2_ran": result.stage2 is not None,
+            "masks_found": [m is not None for m in result.masks],
         }
         if condition is not None:
             out["condition"] = png_b64(condition)

@@ -14,6 +14,17 @@ Weights are random at real SDXL geometry (no checkpoints in this
 image); the mask provider is a host-instant strip stub, so SAM's
 179 ms encode (PARITY §6) is the one serving cost not included.
 
+STAGE-2 INTEGRITY (round-4 post-mortem): the engine's
+reference-faithful token gate (pipelines/omg.py _token_in_prompt,
+mirroring inference_lora.py:276-283) runs mask prediction only when
+the class words appear in the GLOBAL prompt. Round 4's prompt lacked
+"man"/"woman", so every request silently measured stage 1 only and the
+recorded img/min exceeded the bare-compute two-stage ceiling. This
+version (a) uses gate-word prompts, (b) counts mask-provider calls and
+asserts they happened, (c) asserts every response reports
+stage2_ran=true, and (d) sanity-checks throughput against the
+bare-compute ceiling (a serving stack cannot beat its own compute).
+
 Measures:
   1. single-request latency through the server (client wall seconds)
   2. multi-prompt throughput: ONE POST with R prompts -> submit_many
@@ -35,6 +46,12 @@ import time
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# bench.py OMG_BENCH_MODE=throughput, round-2 chip measurement: the
+# bare-compute two-stage 2-concept 50-step ceiling. Serving throughput
+# through the same engine CANNOT exceed this; round 4's invalid record
+# did (7.46), which is how the stage-1-only bug should have been caught.
+BARE_COMPUTE_CEILING_IPM = 2.70
 
 
 def _free_port() -> int:
@@ -77,11 +94,16 @@ def main():
 
     params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
 
+    provider_calls = {"n": 0}
+
     def provider(image, cls):
         # host-instant strip stub (detection itself is measured
-        # separately: SAM xl1 encode 179 ms + decode 6.6 ms, PARITY §6)
+        # separately: SAM xl1 encode 179 ms + decode 6.6 ms, PARITY §6).
+        # Deterministic side per class — NOT hash(cls), which is
+        # PYTHONHASHSEED-randomized across processes (ADVICE round 4).
+        provider_calls["n"] += 1
         m = np.zeros(image.shape[:2], np.float32)
-        if hash(cls) % 2:
+        if cls == "man":
             m[:, : image.shape[1] // 2] = 1.0
         else:
             m[:, image.shape[1] // 2:] = 1.0
@@ -104,24 +126,40 @@ def main():
         with urllib.request.urlopen(req, timeout=timeout) as r:
             return json.loads(r.read())
 
+    def check_stage2(out: dict) -> dict:
+        """Every timed request must have run the FULL two-stage
+        workload: both masks found, stage 2 executed."""
+        assert out.get("stage2_ran") is True, \
+            f"stage 2 did not run: {out.get('masks_found')}"
+        assert out.get("masks_found") == [True, True], out.get("masks_found")
+        return out
+
     rewrite = "[photo of a man]-*-[ugly]|[photo of a woman]-*-[ugly]"
 
     def job(i: int) -> dict:
-        return {"prompt": f"two people at the beach {i}",
+        # the global prompt MUST contain the gate words "man"/"woman"
+        # (pipelines/omg.py:_token_in_prompt) or mask prediction — and
+        # with it all of stage 2 — is skipped (reference semantics,
+        # inference_lora.py:276-283)
+        return {"prompt": f"a man and a woman at the beach {i}",
                 "prompt_rewrite": rewrite, "seed": 100 + i,
                 "height": H, "width": W}
 
-    multi = dict(job(0), prompts=[f"two people at the beach {i}"
+    multi = dict(job(0), prompts=[f"a man and a woman at the beach {i}"
                                   for i in range(R)])
     del multi["prompt"]
 
     # ---- warmup: compile every program the timed rounds will hit
     t0 = time.time()
-    post(job(0))
+    check_stage2(post(job(0)))
     t_compile_single = time.time() - t0
+    assert provider_calls["n"] >= 2, \
+        "mask provider was never called — the token gate skipped stage 2"
     print(f"warmup single done ({t_compile_single:.1f} s)", flush=True)
     t0 = time.time()
-    post(multi)
+    warm = post(multi)
+    for r_ in warm["results"]:
+        check_stage2(r_)
     t_compile_multi = time.time() - t0
     print(f"warmup multi done ({t_compile_multi:.1f} s)", flush=True)
 
@@ -129,7 +167,7 @@ def main():
     lat = []
     for _ in range(reps):
         t0 = time.time()
-        out = post(job(1))
+        out = check_stage2(post(job(1)))
         lat.append(time.time() - t0)
         server_s = out["seconds"]
     lat_s = min(lat)
@@ -144,6 +182,8 @@ def main():
         out = post(multi)
         tp.append(time.time() - t0)
         assert len(out["results"]) == R
+        for r_ in out["results"]:
+            check_stage2(r_)
     tp_s = min(tp)
     tp_ipm = R / tp_s * 60.0
     print(f"multi-prompt R={R} chunk={chunk}: {tp_s:.2f} s "
@@ -153,11 +193,18 @@ def main():
     conc = []
     for _ in range(reps):
         results = [None] * R
+        errors = [None] * R
 
         def one(i):
-            t0 = time.time()
-            post(job(i))
-            results[i] = time.time() - t0
+            # a failed request must fail the RUN, not die silently in
+            # its thread with the throughput recorded as if it
+            # completed (ADVICE round 4)
+            try:
+                t0 = time.time()
+                check_stage2(post(job(i)))
+                results[i] = time.time() - t0
+            except Exception as e:
+                errors[i] = e
 
         t0 = time.time()
         ts = [threading.Thread(target=one, args=(i,)) for i in range(R)]
@@ -165,19 +212,35 @@ def main():
             t.start()
         for t in ts:
             t.join()
+        bad = [e for e in errors if e is not None]
+        assert not bad, f"{len(bad)}/{R} concurrent requests failed: {bad[0]}"
+        assert all(r is not None for r in results)
         conc.append(time.time() - t0)
     conc_s = min(conc)
     conc_ipm = R / conc_s * 60.0
     print(f"concurrent R={R} POSTs: {conc_s:.2f} s "
           f"-> {conc_ipm:.2f} img/min/chip", flush=True)
 
+    # a serving stack cannot out-run its own bare compute: img/min above
+    # the measured two-stage compute ceiling means part of the workload
+    # silently did not run (exactly round 4's failure mode)
+    if size == "sdxl":
+        for name, ipm in (("multi_prompt", tp_ipm), ("concurrent", conc_ipm)):
+            assert ipm <= BARE_COMPUTE_CEILING_IPM * 1.05, (
+                f"{name} throughput {ipm:.2f} img/min exceeds the "
+                f"bare-compute ceiling {BARE_COMPUTE_CEILING_IPM} — "
+                f"part of the workload did not run")
+
     with urllib.request.urlopen(
             f"http://127.0.0.1:{port}/metrics") as r:
         metrics = json.loads(r.read())
+    assert not metrics.get("counters", {}).get("stage2_skipped"), metrics
 
     record = {
         "what": "serving-stack throughput through OMGServer over HTTP "
-                "(2-concept, euler, random weights, strip-stub masks)",
+                "(2-concept TWO-STAGE, euler, random weights, "
+                "strip-stub masks; every response verified "
+                "stage2_ran=true)",
         "geometry": f"{H}x{W}", "steps": steps, "requests": R,
         "max_batch": chunk, "reps": reps,
         "warmup_single_s": round(t_compile_single, 2),
@@ -188,14 +251,19 @@ def main():
         "multi_prompt_img_per_min_chip": round(tp_ipm, 3),
         "concurrent_wall_s": round(conc_s, 3),
         "concurrent_img_per_min_chip": round(conc_ipm, 3),
+        "mask_provider_calls": provider_calls["n"],
+        "bare_compute_ceiling_ipm": BARE_COMPUTE_CEILING_IPM,
         "metrics": metrics,
         "note": "compare vs bench.py OMG_BENCH_MODE=throughput "
                 "(bare compute, 2.70 img/min/chip round-2): the delta "
                 "is the serving stack (text encode, stage-1 decode + "
-                "mask provider, extra fp32 decodes, PNG, HTTP/queue).",
+                "mask provider, extra fp32 decodes, PNG, HTTP/queue). "
+                "Replaces round 4's r4_serving_http record, which "
+                "measured stage 1 only (its prompt lacked the "
+                "man/woman gate words).",
     }
     out_path = os.path.join(os.path.dirname(__file__), "bench_records",
-                            f"r4_serving_http_{H}x{W}.json")
+                            f"r5_serving_http_{H}x{W}.json")
     if size == "sdxl":
         with open(out_path, "w") as f:
             json.dump(record, f, indent=1)
