@@ -571,14 +571,81 @@ def _spatial_ctx(spatial_sharding):
     return lin_sh, carry_sh, ctx
 
 
-def _deepcache_cond(i, i0, cache_interval, dc, eps_full, shallow):
+def _dc_on(spec) -> bool:
+    """True when the static DeepCache spec enables caching: an int
+    interval > 1, or a per-step full/shallow schedule tuple (NON-UNIFORM
+    DeepCache, Ma et al. 2312.00858 §3 — denser full steps where
+    features move fastest)."""
+    return isinstance(spec, tuple) or (not isinstance(spec, bool)
+                                       and isinstance(spec, int)
+                                       and spec > 1)
+
+
+# named non-uniform placements deepcache_schedule understands (the
+# serving layer validates request fields against this)
+DEEPCACHE_SCHEDULES = ("uniform", "front")
+
+
+def deepcache_schedule(num_steps: int, interval: int, *,
+                       kind: str = "front", power: float = 2.0,
+                       fusion_start: Optional[int] = None) -> tuple:
+    """Per-step full/shallow DeepCache schedule (True = full forward).
+
+    Same NUMBER of full steps as a uniform ``interval`` over
+    ``[0, num_steps)`` — so latency matches the uniform row — but
+    placed non-uniformly:
+
+      * ``front``: density ~ step^(1/power) (power > 1 packs full
+        steps toward step 0, where the denoising trajectory moves
+        fastest; the tail coasts on the cache). This is the shape the
+        DeepCache paper's non-uniform 'center'-style sampling takes
+        when the fast-moving region is the start.
+      * ``uniform``: the modulo schedule as a tuple (for A/B plumbing
+        tests — bit-identical to the int form).
+
+    ``fusion_start``: force that step full (stage 2's region fusion
+    starts there; a fresh cache at the handoff keeps the first fused
+    steps honest). Range starts (every denoise range's i0) are forced
+    full at dispatch regardless, so the zero-init cache is never
+    consumed.
+    """
+    if interval <= 1:
+        raise ValueError("schedule needs interval > 1")
+    n_full = -(-num_steps // interval)        # ceil: uniform's count
+    if kind == "uniform":
+        idxs = set(range(0, num_steps, interval))
+    elif kind == "front":
+        # k-th full step at round((k / (n_full-1))^power * (steps-1)):
+        # power > 1 compresses early gaps, stretches late ones
+        idxs = set()
+        for k in range(n_full):
+            frac = (k / max(n_full - 1, 1)) ** power
+            i = round(frac * (num_steps - 1))
+            while i in idxs:                  # collisions shift right
+                i += 1
+            if i < num_steps:
+                idxs.add(i)
+    else:
+        raise ValueError(f"unknown DeepCache schedule kind {kind!r}")
+    idxs.add(0)
+    if fusion_start is not None and 0 <= fusion_start < num_steps:
+        idxs.add(fusion_start)
+    return tuple(i in idxs for i in range(num_steps))
+
+
+def _deepcache_cond(i, i0, spec, dc, eps_full, shallow):
     """DeepCache dispatch: full forward (capturing the branch-0 cache)
-    every ``cache_interval``-th step phased from i0 — so the FIRST step
-    of every range is full and the zero-initialized cache is never
-    consumed — shallow resume otherwise. ``eps_full(want_cache)`` ->
-    (eps, cache); ``shallow(cache)`` -> eps. Returns (eps, cache)."""
+    on full steps — every ``spec``-th step phased from i0 when spec is
+    an int interval, or where a per-step schedule tuple says True. The
+    FIRST step of every range is always full (i == i0), so the
+    zero-initialized cache is never consumed. ``eps_full(want_cache)``
+    -> (eps, cache); ``shallow(cache)`` -> eps. Returns (eps, cache)."""
+    if isinstance(spec, tuple):
+        want_full = jnp.asarray(spec, bool)[i] | (i == i0)
+    else:
+        want_full = (i - i0) % spec == 0
     return jax.lax.cond(
-        (i - i0) % cache_interval == 0,
+        want_full,
         lambda c: eps_full(True),
         lambda c: (shallow(c), c),
         dc)
@@ -596,7 +663,7 @@ def _cfg_range_impl(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
                     base_controlnets: tuple, cn_cfg, spatial_sharding,
                     cache_interval: int, record_traj: bool) -> tuple:
     """Shared body of _denoise_cfg_range / _denoise_cfg_range_traj."""
-    use_cache = cache_interval > 1
+    use_cache = _dc_on(cache_interval)
     embeds2 = base_inputs.prompt_embeds[jnp.array([0, 2])]
     tembeds2 = base_inputs.text_embeds[jnp.array([0, 2])]
     tids2 = base_inputs.time_ids[jnp.array([0, 2])]
@@ -758,7 +825,7 @@ def _denoise_mc_range_traj(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         concept_inputs, concept_loras, 3)
     ipk = concept_ip_adapters[0] if concept_ip_adapters else None
 
-    use_cache = cache_interval > 1
+    use_cache = _dc_on(cache_interval)
 
     def eps_full(lanes, i, t, ctrl, want_cache):
         down_res = mid_res = None
@@ -881,7 +948,7 @@ def _denoise_mc_range(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     like the 3+2K trajectory program's.
     """
     K = len(concept_inputs)
-    use_cache = cache_interval > 1
+    use_cache = _dc_on(cache_interval)
     if K == 0:
         if use_cache:
             raise ValueError(
@@ -1092,7 +1159,7 @@ def two_stage_latents(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
         key=(jax.random.fold_in(noise_key, 777)
              if noise_key is not None else None))
     boundary = min(fusion_start + 1, sched.num_steps)
-    if cache_interval > 1 and concept_crop:
+    if _dc_on(cache_interval) and concept_crop:
         raise ValueError("cache_interval and concept_crop are exclusive")
     lat_b, st_b = _denoise_cfg_range.__wrapped__(
         cfg, sched, unet_params, latents0, state, base_inputs,
@@ -1352,7 +1419,7 @@ def sample_stage2_resumed(cfg: sdxl.SDXLConfig, sched: schedulers.Schedule,
     validate_concept_controlnets(concept_controlnets)
     boundary = min(fusion_start + 1, sched.num_steps)
     st = cache.sched_state
-    if cache_interval > 1 and (concept_crop or len(concept_inputs) == 0):
+    if _dc_on(cache_interval) and (concept_crop or len(concept_inputs) == 0):
         raise ValueError(
             "cache_interval needs a full-frame concept program "
             "(no concept_crop, >=1 concept) — it runs on the 3+2K "

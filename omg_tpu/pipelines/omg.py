@@ -89,6 +89,14 @@ class OMG:
     # otherwise, in BOTH stages. 0/1 = off (exact). Composable with any
     # scheduler (incl. LCM few-step); exclusive with mesh/concept_crop.
     cache_interval: int = 0
+    # NON-UNIFORM DeepCache (Ma et al. 2312.00858 §3): how the full
+    # steps implied by cache_interval are placed. "uniform" = the
+    # modulo schedule; "front" = the same NUMBER of full steps packed
+    # toward step 0 (where the trajectory moves fastest) with the
+    # fusion-start step forced full — same latency, lower drift
+    # (multiconcept.deepcache_schedule). Per-request override via the
+    # "cache_schedule" job field.
+    cache_schedule: str = "uniform"
     # Multi-chip LATENCY layout (the v5e-8 < 5 s mode, PARITY.md §6): a
     # jax.sharding.Mesh with axes (data, model). generate() then runs
     # stage 1 SPATIALLY sharded — CFG lanes over the data axis, the
@@ -103,6 +111,10 @@ class OMG:
     mesh: Optional[object] = None
 
     def __post_init__(self):
+        if self.cache_schedule not in multiconcept.DEEPCACHE_SCHEDULES:
+            raise ValueError(
+                f"unknown cache_schedule {self.cache_schedule!r} "
+                f"(one of {multiconcept.DEEPCACHE_SCHEDULES})")
         if self.quantize == "int8":
             from omg_tpu.ops.quant import quantize_unet_params
             self.params = self.params._replace(
@@ -183,6 +195,34 @@ class OMG:
         ids = self.tokenizer.encode(prompt)
         return wid in list(ids[1:-1])
 
+    # --------------------------------------------------------- deepcache
+
+    def _resolve_cache_spec(self, cache_interval, cache_schedule,
+                            steps: int, fusion_start: int):
+        """Per-request DeepCache spec -> the STATIC value the jitted
+        programs key on: 0 (exact), an int interval > 1 (uniform), or a
+        per-step bool tuple (non-uniform schedule). None falls back to
+        the engine defaults; <=1 normalizes to 0 so an explicit "1"
+        (or "0" on a DeepCache engine) shares the exact program's jit
+        key instead of recompiling a bit-identical one."""
+        if isinstance(cache_interval, (tuple, list)):
+            # explicit per-step schedule (advanced callers/tests)
+            spec = tuple(bool(b) for b in cache_interval)
+            if len(spec) != steps:
+                raise ValueError(
+                    f"cache_interval schedule has {len(spec)} entries "
+                    f"for {steps} steps")
+            return spec
+        interval = (self.cache_interval if cache_interval is None
+                    else int(cache_interval))
+        if interval <= 1:
+            return 0
+        kind = (cache_schedule or self.cache_schedule or "uniform")
+        if kind == "uniform":
+            return interval
+        return multiconcept.deepcache_schedule(
+            steps, interval, kind=kind, fusion_start=fusion_start)
+
     # ------------------------------------------------------------ generate
 
     def generate(self, prompt: str, *, negative_prompt: str = "",
@@ -208,6 +248,7 @@ class OMG:
                  initial_noise: Optional[np.ndarray] = None,
                  scheduler: Optional[str] = None,
                  cache_interval: Optional[int] = None,
+                 cache_schedule: Optional[str] = None,
                  ) -> GenerationResult:
         steps = num_steps or self.num_steps
         if fusion_start is None:
@@ -219,13 +260,10 @@ class OMG:
         sched = schedulers.make_schedule(scheduler or self.scheduler, steps)
         # per-request DeepCache override (same pattern as scheduler:
         # None -> the engine default; the microbatcher buckets by it)
-        eff_interval = (self.cache_interval if cache_interval is None
-                        else int(cache_interval))
-        # <=1 means exact; normalize to 0 so an explicit "1" (or "0" on
-        # a DeepCache engine) shares the exact program's static jit key
-        # instead of recompiling a bit-identical one
-        eff_interval = eff_interval if eff_interval > 1 else 0
-        if eff_interval > 1 and self.concept_crop:
+        eff_interval = self._resolve_cache_spec(cache_interval,
+                                                cache_schedule, steps,
+                                                fusion_start)
+        if eff_interval and self.concept_crop:
             raise ValueError(
                 "cache_interval is exclusive with concept_crop (the "
                 "strip program has no shallow variant); mesh composes")
@@ -553,15 +591,20 @@ class OMG:
         width = requests[0].get("width", 1024)
         sched_name = requests[0].get("scheduler") or self.scheduler
 
+        fusion_start = round(steps * regions_lib.FUSION_START_STEP / 50)
+
         def _req_interval(r):
-            v = r.get("cache_interval")
-            v = self.cache_interval if v is None else int(v)
-            return v if v > 1 else 0    # <=1 == exact (one jit key)
+            # -> 0 / int interval / per-step schedule tuple (all
+            # hashable: the compiled-program compatibility key below
+            # compares them directly)
+            return self._resolve_cache_spec(
+                r.get("cache_interval"), r.get("cache_schedule"),
+                steps, fusion_start)
 
         # NOTE: named eff_interval (not ci) — the zero_ip scan below
         # rebinds a loop variable over ConceptInputs rows
         eff_interval = _req_interval(requests[0])
-        if eff_interval > 1 and self.concept_crop:
+        if eff_interval and self.concept_crop:
             raise ValueError(
                 "cache_interval is exclusive with mesh and concept_crop "
                 "(the shallow program is single-chip, full-frame)")
@@ -573,7 +616,6 @@ class OMG:
                 raise ValueError("batched requests must share "
                                  "height/width/steps/scheduler/"
                                  "cache_interval (bucket them)")
-        fusion_start = round(steps * regions_lib.FUSION_START_STEP / 50)
         sched = schedulers.make_schedule(sched_name, steps)
         tids = sdxl.add_time_ids((height, width), (0, 0), (height, width))
 

@@ -58,6 +58,7 @@ import numpy as np
 
 from omg_tpu import lora as lora_lib
 from omg_tpu.diffusion.schedulers import _KINDS as _SCHED_KINDS
+from omg_tpu.pipelines import multiconcept
 from omg_tpu.serving import conditions
 from omg_tpu.serving.registry import Registry
 from omg_tpu.utils.profiling import METRICS, trace
@@ -246,7 +247,8 @@ class OMGServer:
     # ------------------------------------------------------------- worker
 
     @staticmethod
-    def _bucket(job: dict, default_interval: int = 0):
+    def _bucket(job: dict, default_interval: int = 0,
+                default_schedule: str = "uniform"):
         try:
             h = int(job.get("height", 1024))
             w = int(job.get("width", 1024))
@@ -259,12 +261,16 @@ class OMGServer:
             # DeepCache interval is compiled in: exact and shallow-step
             # requests never share a program — keyed on the RESOLVED
             # value (absent -> engine default, <=1 -> exact) so an
-            # explicit no-op field doesn't fragment the batch.
+            # explicit no-op field doesn't fragment the batch. The
+            # schedule KIND (uniform/front placement) is compiled in
+            # too, but only matters when DeepCache is actually on.
             ci = job.get("cache_interval")
             ci = default_interval if ci is None else int(ci)
+            ci = ci if ci > 1 else 0
+            kind = str(job.get("cache_schedule") or default_schedule)
             return (h, w, int(job.get("steps", 0)),
                     str(job.get("scheduler", "")),
-                    ci if ci > 1 else 0,
+                    ci, kind if ci else "",
                     str(job.get("condition", "")
                         if job.get("condition_image") else ""))
         except Exception:
@@ -274,10 +280,11 @@ class OMGServer:
             return object()
 
     def _bucket_key(self, job: dict):
-        # resolve against THIS engine's default so "absent" and an
+        # resolve against THIS engine's defaults so "absent" and an
         # explicit equal value land in the same bucket
-        return self._bucket(job, getattr(self.engine, "cache_interval",
-                                         0) or 0)
+        return self._bucket(
+            job, getattr(self.engine, "cache_interval", 0) or 0,
+            getattr(self.engine, "cache_schedule", "uniform") or "uniform")
 
     def _batchable(self, job: dict) -> bool:
         # InstantID and spatial-condition jobs batch too (round 3:
@@ -567,6 +574,15 @@ class OMGServer:
             # per-request DeepCache (0/1 = exact); engine exclusivity
             # (mesh/crop) is validated by OMG.generate
             sched_kwargs["cache_interval"] = int(job["cache_interval"])
+        if job.get("cache_schedule"):
+            # full-step placement kind (uniform/front) — validate here
+            # so a typo is a 400, not a worker-side ValueError
+            ks = str(job["cache_schedule"])
+            if ks not in multiconcept.DEEPCACHE_SCHEDULES:
+                raise ValueError(
+                    f"unknown cache_schedule {ks!r} (one of "
+                    f"{multiconcept.DEEPCACHE_SCHEDULES})")
+            sched_kwargs["cache_schedule"] = ks
         return dict(
             prompt=job["prompt"],
             negative_prompt=job.get("negative_prompt",
@@ -684,6 +700,11 @@ class OMGServer:
                             getattr(server.engine, "mesh", None) is not None
                             or getattr(server.engine, "concept_crop",
                                        False)),
+                        # full-step placement kinds for the job field
+                        # "cache_schedule" (only meaningful with
+                        # cache_interval > 1)
+                        "cache_schedules": list(
+                            multiconcept.DEEPCACHE_SCHEDULES),
                     }))
                 elif self.path == "/metrics":
                     self._send(200, json.dumps(METRICS.summary()))
