@@ -306,9 +306,53 @@ class OpenVocabDetector:
         self._assigned[text] = None
         return None
 
+    def assign_jointly(self, image: np.ndarray,
+                       texts: Sequence[str]) -> None:
+        """Assign all ``texts`` at once by GLOBAL max similarity over
+        (class, proposal) pairs — removes the query-order dependence of
+        repeated ``__call__``: sequentially, an early class with a
+        weaker affinity can steal a later class's best region (measured
+        on the synthetic-composite eval, segment/detector_eval.py: the
+        red/orange confusion cases). Classes already assigned on this
+        image (a prior ``__call__``) are kept and their boxes stay
+        vetoed."""
+        self._prepare(image)
+        todo = [t for t in texts if t not in self._assigned]
+        if self._crop_embeds is None or not todo:
+            for t in texts:
+                self._assigned.setdefault(t, None)
+            return
+        sims = np.stack([self._crop_embeds @ self._text_embed(t)
+                         for t in todo])          # [T, P]
+        taken = [self._proposals[i].box
+                 for t, i in self._assigned_indices.items()]
+        flat = np.argsort(-sims, axis=None)
+        done = set()
+        for k in flat:
+            ti, pi = np.unravel_index(k, sims.shape)
+            if sims[ti, pi] < self.sim_thresh:
+                break                             # sorted: rest is lower
+            t = todo[ti]
+            if t in done:
+                continue
+            box = self._proposals[pi].box
+            if any(self._box_iou(box, tb) > self.overlap_thresh
+                   for tb in taken):
+                continue
+            self._assigned[t] = box
+            self._assigned_indices[t] = int(pi)
+            taken.append(box)
+            done.add(t)
+        for t in todo:
+            self._assigned.setdefault(t, None)
+
     def masks_for(self, image: np.ndarray, texts: Sequence[str]) -> list:
-        """Convenience: per-class proposal MASKS (skips the second SAM
-        box->mask pass when the proposal mask itself is wanted)."""
+        """Per-class proposal MASKS (skips the second SAM box->mask
+        pass when the proposal mask itself is wanted). Classes are
+        assigned JOINTLY (see assign_jointly) — callers that know all
+        concepts up front (the pipelines always do) get order-free
+        assignment."""
+        self.assign_jointly(image, texts)
         out = []
         for t in texts:
             box = self(image, t)

@@ -1,0 +1,154 @@
+"""Synthetic-composite detector evaluation (VERDICT r4 item 4).
+
+Gives the open-vocab detector a tracked NUMBER: mean mask-IoU and
+class-assignment accuracy over composed scenes with known geometry, run
+through the production propose -> rank -> assign path
+(segment/detector_eval.py). Also pins the joint-assignment upgrade this
+eval motivated: masks_for assigns all classes by global max similarity,
+so query order can't make one class steal another's region.
+
+Reference role being scored: the YOLO-World / GroundingDINO detection
+front-ends, /root/reference/inference_lora.py:91-126.
+"""
+
+import numpy as np
+import pytest
+
+from omg_tpu.segment import detector_eval as de
+from omg_tpu.segment.detector import OpenVocabDetector, Proposal
+
+
+# ------------------------------------------------------------- composites
+
+
+def test_composite_geometry():
+    img, gt = de.make_composite(0, ["red object", "blue object"])
+    assert img.dtype == np.uint8 and img.shape == (96, 144, 3)
+    assert set(gt) == {"red object", "blue object"}
+    for cls, m in gt.items():
+        assert m.dtype == bool and 0.01 < m.mean() < 0.5
+        # subject pixels actually carry the class color signature
+        mean = img[m].mean(axis=0)
+        target = np.asarray(de.CLASS_COLORS[cls], np.float32)
+        assert np.abs(mean - target).max() < 25.0
+    # subjects respect the overlap bound
+    a, b = gt.values()
+    inter = np.logical_and(a, b).sum()
+    union = np.logical_or(a, b).sum()
+    assert inter / union <= 0.15
+
+
+def test_composite_deterministic():
+    a_img, _ = de.make_composite(7, ["green object"])
+    b_img, _ = de.make_composite(7, ["green object"])
+    np.testing.assert_array_equal(a_img, b_img)
+
+
+# -------------------------------------------------------------- proposals
+
+
+def test_component_proposals_cover_subjects_and_distractors():
+    img, gt = de.make_composite(3, ["red object", "orange object"])
+    props = de.component_proposals(img, seed=0)
+    assert len(props) >= 3          # 2 subjects + >=1 distractor found
+    for cls, m in gt.items():
+        best = max(de._iou(p.mask, m) for p in props)
+        # adjacent red/orange must NOT merge into one proposal (the
+        # hue-binned pass); jittered boundaries keep IoU < 1
+        assert best > 0.6, f"{cls} best proposal IoU {best}"
+
+
+# ----------------------------------------------------------------- metric
+
+
+def test_ci_eval_meets_thresholds():
+    """The tracked round score. Thresholds sit below the measured
+    r5 values (IoU 0.829 / accuracy 1.0 / rejection 0.917 at
+    n_cases=12, seed=0) so real regressions fail while boundary-jitter
+    noise doesn't."""
+    rec = de.run_ci_eval(n_cases=12, seed=0)
+    assert rec["present_queries"] >= 24
+    assert rec["mean_mask_iou"] >= 0.75, rec
+    assert rec["assignment_accuracy"] >= 0.95, rec
+    assert rec["absent_rejection_rate"] >= 0.80, rec
+
+
+def test_evaluate_counts_misses_and_false_positives():
+    img, gt = de.make_composite(0, ["red object"])
+
+    class _Null:
+        def masks_for(self, image, texts):
+            return [None for _ in texts]
+
+    r = de.evaluate(_Null(), [(img, gt)], query_absent=["blue object"])
+    assert r["mean_mask_iou"] == 0.0
+    assert r["assignment_accuracy"] == 0.0
+    assert r["absent_rejection_rate"] == 1.0
+
+    class _Everything:
+        def masks_for(self, image, texts):
+            return [np.ones(image.shape[:2], np.float32) for _ in texts]
+
+    r = de.evaluate(_Everything(), [(img, gt)],
+                    query_absent=["blue object"])
+    assert r["absent_rejection_rate"] == 0.0
+    assert r["per_case"][0]["blue object"] == "FALSE_POSITIVE"
+
+
+# ------------------------------------------------- joint assignment upgrade
+
+
+def _steal_scenario():
+    """Two disjoint regions; class A's max sim is on B's region but B's
+    sim there is higher. Sequential query order A-then-B makes A steal
+    it; joint assignment must give each class its own region."""
+    h, w = 64, 96
+    boxes = [(0, 0, 40, 40), (56, 0, 96, 40)]
+    props = []
+    for x0, y0, x1, y1 in boxes:
+        m = np.zeros((h, w), bool)
+        m[y0:y1, x0:x1] = True
+        props.append(Proposal(
+            m, np.asarray([x0, y0, x1, y1], np.float32), 0.9))
+    # P0 embeds: A=0.6, B=0.4; P1 embeds: A=0.7, B=0.9
+    embeds = np.asarray([[0.6, 0.4], [0.7, 0.9]], np.float32)
+    texts = {"A": [1.0, 0.0], "B": [0.0, 1.0]}
+    det = OpenVocabDetector(
+        lambda image: list(props),
+        lambda crops: embeds,
+        lambda ts: np.asarray([texts[t] for t in ts], np.float32),
+        sim_thresh=0.3, crop_size=16)
+    img = np.zeros((h, w, 3), np.uint8)
+    img[0, 0] = 1   # non-degenerate fingerprint
+    return det, img
+
+
+def test_masks_for_joint_assignment_beats_query_order():
+    det, img = _steal_scenario()
+    masks = det.masks_for(img, ["A", "B"])
+    assert masks[0] is not None and masks[1] is not None
+    # A got P0 (its own region), B got P1 — despite A's max sim being P1
+    assert masks[0][10, 10] == 1.0 and masks[0][10, 70] == 0.0
+    assert masks[1][10, 70] == 1.0 and masks[1][10, 10] == 0.0
+
+
+def test_sequential_call_still_order_dependent_and_respected():
+    """__call__ keeps its documented sequential contract (box_provider
+    slot gets classes one at a time), and a prior __call__ assignment
+    is honored by a later masks_for on the same image."""
+    det, img = _steal_scenario()
+    box_a = det(img, "A")
+    np.testing.assert_array_equal(box_a, [56, 0, 96, 40])   # A steals P1
+    masks = det.masks_for(img, ["A", "B"])
+    assert masks[0][10, 70] == 1.0                          # kept
+    assert masks[1] is not None and masks[1][10, 10] == 1.0  # B -> P0
+
+
+def test_joint_assignment_threshold_and_absent():
+    det, img = _steal_scenario()
+    det.sim_thresh = 0.95            # nothing qualifies
+    assert det.masks_for(img, ["A", "B"]) == [None, None]
+
+
+if __name__ == "__main__":
+    pytest.main([__file__, "-q"])

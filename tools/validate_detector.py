@@ -121,6 +121,12 @@ def main():
     p.add_argument("--grid", type=int, default=8)
     p.add_argument("--sim_thresh", type=float, default=0.18)
     p.add_argument("--sweep", default="0.12,0.15,0.18,0.22,0.26,0.30")
+    p.add_argument("--composites", type=int, default=0,
+                   help="also run the synthetic-composite IoU/accuracy "
+                        "eval (segment/detector_eval.py) with the REAL "
+                        "SAM+CLIP detector on N color-word composites — "
+                        "the same tracked metric CI computes with the "
+                        "weight-free stack")
     p.add_argument("--out", default="detector_report.json")
     args = p.parse_args()
 
@@ -167,6 +173,22 @@ def main():
     report["hit_rate_by_sim_thresh"] = agg
     report["overlap_violations"] = sum(
         1 for r in report["images"].values() if r.get("overlap_violation"))
+
+    if args.composites > 0:
+        # same metric, real weights: composed scenes with known masks,
+        # color-word classes real CLIP can score
+        from omg_tpu.segment import detector_eval as de
+        all_classes = list(de.CLASS_COLORS)
+        cases = []
+        for i in range(args.composites):
+            k = 2 + (i % 2)
+            rot = [all_classes[(i + j) % len(all_classes)]
+                   for j in range(k)]
+            cases.append(de.make_composite(1000 + i, rot, h=256, w=384))
+        comp = de.evaluate(det, cases)
+        report["composite_eval"] = comp
+        print(json.dumps({k: v for k, v in comp.items()
+                          if k != "per_case"}, indent=2))
 
     with open(args.out, "w") as f:
         json.dump(report, f, indent=2)
