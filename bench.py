@@ -138,7 +138,22 @@ def main():
     # OMG_BENCH_DEEPCACHE=N: approximate mode — full UNet forward every
     # N-th step, attention-free branch-0 shallow resume otherwise
     # (models/unet.py:apply_shallow); 0 = exact. Works in both modes.
+    # OMG_BENCH_DEEPCACHE_KIND=front: non-uniform placement — the same
+    # NUMBER of full steps packed toward step 0
+    # (multiconcept.deepcache_schedule; VERDICT r4 item 5).
     dc_interval = int(os.environ.get("OMG_BENCH_DEEPCACHE", "0"))
+    dc_kind = os.environ.get("OMG_BENCH_DEEPCACHE_KIND", "uniform")
+
+    def dc_spec_of(n: int, kind: str = dc_kind):
+        """-> the static cache_interval value: 0 / int / schedule tuple."""
+        if n <= 1:
+            return 0
+        if kind == "uniform":
+            return n
+        return multiconcept.deepcache_schedule(
+            steps, n, kind=kind, fusion_start=fusion_start)
+
+    dc_spec = dc_spec_of(dc_interval)
 
     if mode == "throughput":
         # Batched-request serving throughput: R independent generations
@@ -179,7 +194,7 @@ def main():
                 cfg, sched, up, l0, base, ctl,
                 (concept, concept), tuple(loras), masks,
                 fusion_start=fusion_start, noise_key=k,
-                concept_crop=crop, cache_interval=dc_interval),
+                concept_crop=crop, cache_interval=dc_spec),
             in_axes=(None, 0, 0)))
 
         # decode only copy B (the deliverable) of each request, ONE
@@ -229,6 +244,7 @@ def main():
                 "concept_crop": "strips" if crop else None,
                 "deepcache_interval": dc_interval if dc_interval > 1
                                       else None,
+                "deepcache_kind": dc_kind if dc_interval > 1 else None,
                 "backend": jax.default_backend(),
                 "device": str(jax.devices()[0]),
             },
@@ -246,7 +262,7 @@ def main():
         # arrays; fetching a scalar to host is a reliable barrier.
         return float(jnp.sum(x[..., :1, :1, :1]))
 
-    def one_generation(cache_interval=dc_interval, params=unet_params,
+    def one_generation(cache_interval=dc_spec, params=unet_params,
                        seed=5):
         t0 = time.time()
         lat1, cache = multiconcept.sample_stage1_cached(
@@ -342,6 +358,7 @@ def main():
         int8_drift = dict(drift_vs_exact(lat2_q), measured="live")
         del qparams
     dcN = int(os.environ.get("OMG_BENCH_DEEPCACHE_N", "3"))
+    deepcache_front_drift = None
     if exact_run and "deepcache" in drift_modes and dcN > 1:
         # same program/args as the measured run (one_generation keeps
         # the drift comparison in lockstep with what is benchmarked; the
@@ -349,6 +366,13 @@ def main():
         *_, (lat2_d, _) = one_generation(cache_interval=dcN)
         deepcache_drift = dict(drift_vs_exact(lat2_d), interval=dcN,
                                measured="live")
+    if exact_run and "deepcache_front" in drift_modes and dcN > 1:
+        # the non-uniform schedule at the SAME full-step budget: its
+        # drift vs exact, comparable head-to-head with the uniform row
+        *_, (lat2_f, _) = one_generation(
+            cache_interval=dc_spec_of(dcN, "front"))
+        deepcache_front_drift = dict(drift_vs_exact(lat2_f), interval=dcN,
+                                     kind="front", measured="live")
     # merge: live measurements refresh the cache; cached values fill in
     if crop_drift is None:
         crop_drift = drift_cache.get("crop_drift")
@@ -362,12 +386,19 @@ def main():
         deepcache_drift = drift_cache.get("deepcache_drift")
         if deepcache_drift:
             deepcache_drift = dict(deepcache_drift, measured="cached")
-    if exact_run and (crop_drift or int8_drift or deepcache_drift):
+    if deepcache_front_drift is None:
+        deepcache_front_drift = drift_cache.get("deepcache_front_drift")
+        if deepcache_front_drift:
+            deepcache_front_drift = dict(deepcache_front_drift,
+                                         measured="cached")
+    if exact_run and (crop_drift or int8_drift or deepcache_drift
+                      or deepcache_front_drift):
         try:
             new_cache = dict(drift_cache)
             for k, v in (("crop_drift", crop_drift),
                          ("int8_drift", int8_drift),
-                         ("deepcache_drift", deepcache_drift)):
+                         ("deepcache_drift", deepcache_drift),
+                         ("deepcache_front_drift", deepcache_front_drift)):
                 if v and v.get("measured") == "live":
                     new_cache[k] = {kk: vv for kk, vv in v.items()
                                     if kk != "measured"}
@@ -478,6 +509,7 @@ def main():
                              else "none"),
             "deepcache_interval": dc_interval if dc_interval > 1
                                   else None,
+            "deepcache_kind": dc_kind if dc_interval > 1 else None,
             "v5e8_projection_s": v5e8_proj,
             "v5e8_projection_note": v5e8_note,
             # approximate-mode drift vs this run's exact latents (same
@@ -486,6 +518,7 @@ def main():
             "crop_drift": crop_drift,
             "int8_drift": int8_drift,
             "deepcache_drift": deepcache_drift,
+            "deepcache_front_drift": deepcache_front_drift,
             "size": size, "steps": steps,
             "height": H, "width": W,
             "backend": jax.default_backend(),

@@ -158,7 +158,11 @@ def main():
             sample_ip_adapter=(iid.ip_adapter_layers
                                if iid is not None else None),
             vae_params=engine.params.vae,
-            cache_interval=args.cache_interval)
+            cache_interval=args.cache_interval,
+            # the microbatcher's chunked batch shapes compile their own
+            # programs (round-4 serve_bench: a separate 137 s compile on
+            # the first batched request despite --warmup)
+            max_batch=server.max_batch)
     server.serve(args.host, args.port)
 
 

@@ -46,6 +46,7 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
            ip_scale: float = 0.8,
            vae_params=None,
            cache_interval: int = 0,
+           batch_sizes: Sequence[int] = (),
            log=print) -> int:
     """AOT-compile the serving programs for each (bucket, K).
 
@@ -60,6 +61,12 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
     too; without it, face requests hit a cold multi-minute compile
     despite --warmup (ADVICE round 2).
     ``vae_params``: also warm the per-bucket decode when given.
+    ``batch_sizes``: microbatcher chunk widths (the server's max_batch)
+    — also warm the request-stacked sample_stage1_batch /
+    sample_stage2_batch programs the queue-drain and multi-prompt paths
+    run (round-4 serve_bench: the first batched request paid a separate
+    137 s compile despite --warmup). Size-1 batches route to the single
+    path and need no extra program.
     Returns the number of compiled programs. Shapes that differ from the
     warmed ones (another LoRA rank/structure, ControlNet conditions, an
     unusual step count) still compile on first request — a note is
@@ -128,6 +135,42 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
                     ip_scale_static=ip_scale,
                     cache_interval=cache_interval).compile()
                 n += 1
+        for R in batch_sizes:
+            if R <= 1:
+                continue          # singleton drains run the single path
+            t1 = time.time()
+            base_r = multiconcept.BaseInputs(
+                _sds((R, 4, 77, d), dt), _sds((R, 4, pdim), dt),
+                _sds((R, 4, 6)), _sds((R,)))
+            keys_r = _sds((R, 2), jnp.uint32)
+            multiconcept.sample_stage1_batch.lower(
+                cfg, sched, params, keys_r, base_r, height=height,
+                width=width, fusion_start=fusion_start,
+                cache_interval=cache_interval).compile()
+            n += 1
+            st_r = schedulers.SchedulerState(
+                _sds((R, 1, h, w, 4)), _sds((R,), jnp.int32),
+                _sds((R, 2), jnp.uint32))
+            cache_r = multiconcept.StageCache(
+                latents=_sds((R, 1, h, w, 4), dt), sched_state=st_r,
+                a_traj=_sds((R, max(steps - boundary, 0), 1, h, w, 4), dt),
+                # sample_stage1_batch stores the UNduplicated lat_end
+                a_final=_sds((R, 1, h, w, 4), dt))
+            for K in concept_counts:
+                concept_r = multiconcept.ConceptInputs(
+                    _sds((R, 2, 77, d), dt), _sds((R, 2, pdim), dt),
+                    _sds((R, 2, 6)), None)
+                lora_r = (jax.tree.map(
+                    lambda x: _sds((R,) + tuple(x.shape), x.dtype), lora_s)
+                    if lora_s is not None else None)
+                multiconcept.sample_stage2_batch.lower(
+                    cfg, sched, params, cache_r, base_r, ctl_s,
+                    tuple([concept_r] * K), tuple([lora_r] * K),
+                    _sds((R, K, h, w)), fusion_start=fusion_start,
+                    cache_interval=cache_interval).compile()
+                n += 1
+            log(f"warmup {height}x{width} batch R={R}: "
+                f"{time.time() - t1:.1f}s")
         if vae_params is not None:
             # engine._decode decodes the [2, h, w, 4] stage outputs
             sdxl.decode_latents.lower(
@@ -158,10 +201,14 @@ def default_serving_warmup(cfg, *, unet_params, steps: int = 50,
                            sample_lora: Optional[dict] = None,
                            sample_ip_adapter: Optional[list] = None,
                            vae_params=None, cache_interval: int = 0,
+                           max_batch: int = 0,
                            log=print) -> int:
+    """``max_batch``: the server's microbatch width — also warms the
+    request-stacked batch programs (pass server.max_batch)."""
     return warmup(cfg, unet_params=unet_params, steps=steps,
                   buckets=RESOLUTIONS, concept_counts=(1, 2),
                   scheduler=scheduler, sample_lora=sample_lora,
                   sample_ip_adapter=sample_ip_adapter,
                   vae_params=vae_params, cache_interval=cache_interval,
+                  batch_sizes=((max_batch,) if max_batch > 1 else ()),
                   log=log)

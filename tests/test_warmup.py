@@ -106,3 +106,74 @@ def test_warmup_matches_real_serving_programs():
         multiconcept._denoise_mc_range_traj.lower = orig
     assert len(lowered) == 1
     assert lowered[0] == real
+
+def test_batch_warmup_matches_engine_generate_batch():
+    """batch_sizes warmup must lower the EXACT programs the serving
+    microbatcher runs (VERDICT r4 item 7: the first batched request
+    paid a separate 137 s compile despite --warmup). Spy on the batch
+    entry points' .lower while a REAL engine.generate_batch runs, then
+    assert the warmed lowerings are byte-identical HLO."""
+    import omg_tpu
+    from omg_tpu.text.tokenizer import ToyTokenizer
+
+    def provider(image, cls):
+        m = np.zeros(image.shape[:2], np.float32)
+        half = image.shape[1] // 2
+        if cls == "man":
+            m[:, :half] = 1.0
+        else:
+            m[:, half:] = 1.0
+        return m
+
+    cfg = sdxl.tiny_config()
+    params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+    eng = omg_tpu.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                      tokenizer_2=ToyTokenizer(), mask_provider=provider,
+                      num_steps=3)
+    reqs = [dict(prompt="the man and the woman",
+                 prompt_rewrite="[the man]-*-[b]|[the woman]-*-[b]",
+                 seed=s, height=32, width=32) for s in (3, 9)]
+
+    real = {}
+
+    def capture(name, orig_fn):
+        def wrapper(*a, **k):
+            real[name] = orig_fn.lower(*a, **k).as_text()
+            return orig_fn(*a, **k)
+        return wrapper
+
+    orig1 = multiconcept.sample_stage1_batch
+    orig2 = multiconcept.sample_stage2_batch
+    multiconcept.sample_stage1_batch = capture("stage1", orig1)
+    multiconcept.sample_stage2_batch = capture("stage2", orig2)
+    try:
+        eng.generate_batch(reqs)
+    finally:
+        multiconcept.sample_stage1_batch = orig1
+        multiconcept.sample_stage2_batch = orig2
+    assert set(real) == {"stage1", "stage2"}
+
+    warmed = {}
+    o1, o2 = orig1.lower, orig2.lower
+
+    def spy1(*a, **k):
+        out = o1(*a, **k)
+        warmed["stage1"] = out.as_text()
+        return out
+
+    def spy2(*a, **k):
+        out = o2(*a, **k)
+        warmed["stage2"] = out.as_text()
+        return out
+
+    orig1.lower, orig2.lower = spy1, spy2
+    try:
+        warmup.warmup(cfg, unet_params=eng.params.unet, steps=3,
+                      buckets=((32, 32),), concept_counts=(2,),
+                      fusion_fraction=0.3, batch_sizes=(1, 2),
+                      log=lambda *_: None)
+    finally:
+        orig1.lower, orig2.lower = o1, o2
+    assert set(warmed) == {"stage1", "stage2"}   # R=1 skipped
+    assert warmed["stage1"] == real["stage1"]
+    assert warmed["stage2"] == real["stage2"]
