@@ -59,6 +59,11 @@ def parse_args():
                         "every N-th step, attention-free shallow resume "
                         "otherwise (IP/IdentityNet apply on full steps); "
                         "0 = exact")
+    p.add_argument("--cache_schedule", default="uniform",
+                   choices=["uniform", "front"],
+                   help="DeepCache full-step placement ('front': same "
+                        "count packed toward step 0 — faster AND lower "
+                        "drift, PARITY §6)")
     return p.parse_args()
 
 
@@ -158,7 +163,8 @@ def main():
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
                          cn_cfg=idnet_cfg, num_steps=args.num_steps,
-                         cache_interval=args.cache_interval)
+                         cache_interval=args.cache_interval,
+                         cache_schedule=args.cache_schedule)
 
     result = engine.generate(
         args.prompt, negative_prompt=args.negative_prompt,

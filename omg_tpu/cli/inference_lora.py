@@ -64,6 +64,11 @@ def parse_args():
                         help="approximate mode: DeepCache — full UNet "
                              "forward every N-th step, attention-free "
                              "shallow resume otherwise; 0 = exact")
+    parser.add_argument("--cache_schedule", default="uniform",
+                        choices=["uniform", "front"],
+                        help="DeepCache full-step placement ('front': "
+                             "same count packed toward step 0 — faster "
+                             "AND lower drift, PARITY §6)")
     return parser.parse_args()
 
 
@@ -140,7 +145,8 @@ def main():
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=tok1,
                          tokenizer_2=tok2, mask_provider=provider,
                          cn_cfg=cn_cfg, num_steps=args.num_steps,
-                         mesh=mesh, cache_interval=args.cache_interval)
+                         mesh=mesh, cache_interval=args.cache_interval,
+                         cache_schedule=args.cache_schedule)
 
     result = engine.generate(
         args.prompt, negative_prompt=args.negative_prompt,

@@ -40,8 +40,13 @@ def main():
     p.add_argument("--dpt_checkpoint", default="",
                    help="DPT depth model dir (photo->depth server-side)")
     p.add_argument("--quantize", default="", choices=["", "int8"],
-                   help="int8: W8A8 transformer GEMMs (approximate, "
-                        "faster serving; default exact bf16)")
+                   help="int8: W8A8 transformer GEMMs. NOT RECOMMENDED "
+                        "(measured: ~1%% e2e speedup for 31.5 dB PSNR "
+                        "drift, PARITY.md §6 — dynamic-quant reductions "
+                        "serialize against the MXU and the pure-int8 MXU "
+                        "rate is only 1.36x bf16 on this chip); prefer "
+                        "--cache_interval or --concept_crop. Kept for "
+                        "A/B measurement.")
     p.add_argument("--scheduler", default="euler",
                    choices=["euler", "ddim", "dpmpp_2m", "lcm"],
                    help="lcm + --num_steps 8 is the few-step serving "
@@ -54,7 +59,15 @@ def main():
                    help="approximate mode: DeepCache — full UNet "
                         "forward every N-th step, attention-free "
                         "shallow resume otherwise. 0 = exact. "
-                        "Exclusive with --concept_crop/--mesh.")
+                        "Exclusive with --concept_crop; composes with "
+                        "--mesh.")
+    p.add_argument("--cache_schedule", default="uniform",
+                   choices=["uniform", "front"],
+                   help="DeepCache full-step placement: 'front' packs "
+                        "the same number of full steps toward step 0 — "
+                        "measured 8.97 s vs uniform's 10.59 s at "
+                        "interval 3, with 17 dB lower drift (PARITY §6)."
+                        " Also a per-request job field.")
     p.add_argument("--mesh", default=0, type=int, metavar="N",
                    help="multi-chip LATENCY mode over N chips (the "
                         "v5e-8 layout): stage 1 spatially sharded "
@@ -84,7 +97,8 @@ def main():
                          num_steps=args.num_steps, quantize=args.quantize,
                          scheduler=args.scheduler,
                          concept_crop=args.concept_crop, mesh=mesh,
-                         cache_interval=args.cache_interval)
+                         cache_interval=args.cache_interval,
+                         cache_schedule=args.cache_schedule)
     registry = (Registry.from_json(args.registry) if args.registry
                 else default_registry())
 
