@@ -112,7 +112,8 @@ img{max-width:100%;border:1px solid #ddd;margin:.3em 0}
 <label>Resolution <select id=resolution></select></label>
 <label>Scheduler <select id=scheduler></select></label>
 <label id=dcbox hidden>DeepCache N <input id=deepcache type=number min=0
- placeholder=off style=width:5em></label>
+ placeholder=off style=width:5em>
+ <select id=dcsched></select></label>
 <label>Seed <input id=seed type=number value=42 style=width:6em></label>
 <label>Steps <input id=steps type=number value=50 style=width:5em></label>
 <label>CFG <input id=cfg type=number step=0.5 value=7.5
@@ -158,6 +159,9 @@ async function init() {
   }
   $('facebox').hidden = !caps.instantid;
   $('dcbox').hidden = !caps.deepcache_per_request;
+  for (const k of caps.cache_schedules || ['uniform'])
+    $('dcsched').append(new Option(k, k));
+  $('dcsched').value = 'front';   // measured: faster AND lower drift
 }
 const num = (id, dflt) => {
   const v = +$(id).value;
@@ -172,8 +176,10 @@ $('go').onclick = async () => {
     guidance_scale: num('cfg', 7.5), height: h, width: w};
   if ($('rewrite').value.trim()) job.prompt_rewrite = $('rewrite').value.trim();
   if ($('scheduler').value) job.scheduler = $('scheduler').value;
-  if ($('deepcache').value !== '')
+  if ($('deepcache').value !== '') {
     job.cache_interval = num('deepcache', 0);
+    job.cache_schedule = $('dcsched').value;
+  }
   if ($('condition').value !== 'none' && $('condimg').files[0]) {
     job.condition = $('condition').value;
     job.condition_image = await b64($('condimg').files[0]);

@@ -104,7 +104,7 @@ def test_server_ui_page(server):
         page = r.read().decode()
     for needle in ("character1", "character2", "style", "resolution",
                    "condition", "face1", "prompt_rewrite",
-                   "fetch('/registry')", "/generate"):
+                   "fetch('/registry')", "/generate", "dcsched"):
         assert needle in page, needle
 
 

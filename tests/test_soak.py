@@ -122,6 +122,12 @@ def test_soak_mixed_concurrent_load():
     srv, url = _build_server()
     jobs = _jobs()
 
+    # METRICS is a process-global singleton shared by every OMGServer —
+    # in a full-suite run earlier serving tests have already counted
+    # into it, so all assertions below are on DELTAS from here
+    with urllib.request.urlopen(url + "/metrics") as r:
+        before = json.loads(r.read())["counters"]
+
     # serial baselines (also warms every program the mix needs)
     baselines = []
     for _, job, s2 in jobs:
@@ -183,10 +189,14 @@ def test_soak_mixed_concurrent_load():
         hz = json.loads(r.read())
     assert hz["ok"] is True and hz["queued"] == 0
     with urllib.request.urlopen(url + "/metrics") as r:
-        metrics = json.loads(r.read())
+        counters = json.loads(r.read())["counters"]
+
+    def delta(key):
+        return counters.get(key, 0) - before.get(key, 0)
+
     # gate-miss ran twice (baseline + storm); nothing else skipped
-    assert metrics["counters"].get("stage2_skipped", 0) == 2
-    assert metrics["counters"]["images_generated"] == 2 * len(jobs)
+    assert delta("stage2_skipped") == 2, (before, counters)
+    assert delta("images_generated") == 2 * len(jobs)
 
 
 if __name__ == "__main__":
