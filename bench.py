@@ -326,7 +326,10 @@ def main():
             drift_cache = json.load(f)
     except Exception:
         drift_cache = {}
-    drift_modes = os.environ.get("OMG_BENCH_DRIFT", "crop")
+    # token list, not substring matching: "deepcache_front" must not
+    # also select the uniform "deepcache" run (round-5 review)
+    drift_modes = [s.strip() for s in
+                   os.environ.get("OMG_BENCH_DRIFT", "crop").split(",")]
     # interval <= 1 compiles the exact program (use_cache needs > 1)
     # (drift caches are 1024^2 measurements — don't refresh them from a
     # non-square bucket run)

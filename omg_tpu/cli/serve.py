@@ -173,6 +173,7 @@ def main():
                                if iid is not None else None),
             vae_params=engine.params.vae,
             cache_interval=args.cache_interval,
+            cache_schedule=args.cache_schedule,
             # the microbatcher's chunked batch shapes compile their own
             # programs (round-4 serve_bench: a separate 137 s compile on
             # the first batched request despite --warmup)

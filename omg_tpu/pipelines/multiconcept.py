@@ -601,7 +601,12 @@ def deepcache_schedule(num_steps: int, interval: int, *,
         DeepCache paper's non-uniform 'center'-style sampling takes
         when the fast-moving region is the start.
       * ``uniform``: the modulo schedule as a tuple (for A/B plumbing
-        tests — bit-identical to the int form).
+        tests). Bit-identical to the int form only on ranges starting
+        at ``i0 % interval == 0`` (e.g. stage 1): the int dispatch
+        phases the modulo from each range's i0, the tuple uses global
+        step indices — a stage-2 range starting off-phase places its
+        full steps differently. The engine's "uniform" kind resolves
+        to the INT form, so user-facing behavior is unaffected.
 
     ``fusion_start``: force that step full (stage 2's region fusion
     starts there; a fresh cache at the handoff keeps the first fused

@@ -223,6 +223,33 @@ class OMG:
         return multiconcept.deepcache_schedule(
             steps, interval, kind=kind, fusion_start=fusion_start)
 
+    # --------------------------------------------------------------- masks
+
+    def _predict_masks(self, image, prompt: str, n_regions: int,
+                       detection_classes) -> list:
+        """Per-concept masks from the stage-1 image. Token-gated per
+        class (reference semantics, inference_lora.py:276-283). All
+        gated classes are queried in ONE ``masks_for`` call when the
+        provider supports it (SamMaskProvider over OpenVocabDetector:
+        joint global-max class assignment, no query-order stealing);
+        per-class callables keep the old sequential path."""
+        gated = [(k, detection_classes[k])
+                 for k in range(n_regions)
+                 if k < len(detection_classes) and detection_classes[k]
+                 and self.mask_provider is not None
+                 and self._token_in_prompt(detection_classes[k], prompt)]
+        masks: list = [None] * n_regions
+        if not gated:
+            return masks
+        mf = getattr(self.mask_provider, "masks_for", None)
+        if mf is not None:
+            for (k, _), m in zip(gated, mf(image, [c for _, c in gated])):
+                masks[k] = m
+        else:
+            for k, cls in gated:
+                masks[k] = self.mask_provider(image, cls)
+        return masks
+
     # ------------------------------------------------------------ generate
 
     def generate(self, prompt: str, *, negative_prompt: str = "",
@@ -399,15 +426,9 @@ class OMG:
 
         # --- masks -----------------------------------------------------
         if masks is None:
-            masks = []
-            for k in range(len(region_specs)):
-                cls = (detection_classes[k]
-                       if k < len(detection_classes) else None)
-                m = None
-                if (cls and self.mask_provider is not None
-                        and self._token_in_prompt(cls, prompt)):
-                    m = self.mask_provider(img1[1], cls)
-                masks.append(m)
+            masks = self._predict_masks(img1[1], prompt,
+                                        len(region_specs),
+                                        detection_classes)
         masks = list(masks)
 
         if self.mesh is not None:
@@ -705,15 +726,9 @@ class OMG:
         any_stage2 = False
         for r_i, r in enumerate(requests):
             img1 = self._decode(lat1_r[r_i])
-            masks = []
-            classes = r.get("detection_classes", ("man", "woman"))
-            for k in range(len(specs_list[r_i])):
-                cls = classes[k] if k < len(classes) else None
-                m = None
-                if (cls and self.mask_provider is not None
-                        and self._token_in_prompt(cls, r["prompt"])):
-                    m = self.mask_provider(img1[1], cls)
-                masks.append(m)
+            masks = self._predict_masks(
+                img1[1], r["prompt"], len(specs_list[r_i]),
+                r.get("detection_classes", ("man", "woman")))
             any_stage2 = any_stage2 or any(m is not None for m in masks)
             masks_per_req.append(masks)
             results.append(GenerationResult(stage1=img1, stage2=None,

@@ -309,18 +309,29 @@ def evaluate(detector, cases: Sequence[tuple], *,
     return out
 
 
-def run_ci_eval(n_cases: int = 12, seed: int = 0) -> dict:
-    """The tracked zero-egress score: randomized composites (2-3
-    subjects each, rotating class subsets, 3 distractors), one absent
-    class queried per case, fresh detector per case (the per-image
-    cache is separately tested)."""
+def build_cases(n_cases: int, *, seed: int = 0, h: int = 96,
+                w: int = 144) -> tuple:
+    """The canonical case recipe BOTH drivers score (CI with the
+    weight-free stack, tools/validate_detector.py --composites with
+    real SAM+CLIP): randomized composites with 2-3 subjects each
+    (rotating class subsets, 3 distractors) plus one absent class per
+    case. -> (cases [(image, gt)], absents [cls]). Keeping one builder
+    means the real-weights metric stays comparable to the tracked CI
+    number."""
     all_classes = list(CLASS_COLORS)
     cases, absents = [], []
     for i in range(n_cases):
         k = 2 + (i % 2)
         rot = [all_classes[(i + j) % len(all_classes)] for j in range(k)]
-        cases.append(make_composite(seed + 1000 + i, rot))
+        cases.append(make_composite(seed + 1000 + i, rot, h=h, w=w))
         absents.append(all_classes[(i + k) % len(all_classes)])
+    return cases, absents
+
+
+def run_ci_eval(n_cases: int = 12, seed: int = 0) -> dict:
+    """The tracked zero-egress score: build_cases() composites, fresh
+    detector per case (the per-image cache is separately tested)."""
+    cases, absents = build_cases(n_cases, seed=seed)
     # query one absent class per case: evaluate() queries the union, so
     # run per-case with its own absent class
     agg = {"n_cases": 0, "present_queries": 0, "mean_mask_iou": 0.0,

@@ -182,3 +182,19 @@ class SamMaskProvider:
             self._cached_image_id = img_id
         mask, _score = self.predictor.predict_box(box)
         return mask.astype(np.float32)
+
+    def masks_for(self, image: np.ndarray, texts) -> list:
+        """Batch form the pipelines call when they know every concept
+        class up front: a box_provider that can assign classes JOINTLY
+        (OpenVocabDetector.assign_jointly — global max similarity over
+        (class, proposal) pairs) does so here, removing the query-order
+        dependence of repeated single-class calls (an early class with
+        a weaker affinity stealing a later class's best region —
+        measured on the synthetic-composite eval). Other box_providers
+        fall back to per-class calls unchanged."""
+        joint = getattr(self.box_provider, "assign_jointly", None)
+        if joint is not None:
+            joint(image, list(texts))
+        # per-text calls now consult the joint assignment (the detector
+        # caches it per image); non-joint providers take the old path
+        return [self(image, t) for t in texts]

@@ -581,8 +581,8 @@ class OMGServer:
             # (mesh/crop) is validated by OMG.generate
             sched_kwargs["cache_interval"] = int(job["cache_interval"])
         if job.get("cache_schedule"):
-            # full-step placement kind (uniform/front) — validate here
-            # so a typo is a 400, not a worker-side ValueError
+            # full-step placement kind (uniform/front) — validated at
+            # submit time, where ValueError maps to HTTP 400
             ks = str(job["cache_schedule"])
             if ks not in multiconcept.DEEPCACHE_SCHEDULES:
                 raise ValueError(
@@ -701,11 +701,12 @@ class OMGServer:
                         },
                         # per-request DeepCache override (job field
                         # "cache_interval"; requests bucket by it) —
-                        # unavailable on mesh/crop engines (exclusive)
-                        "deepcache_per_request": not (
-                            getattr(server.engine, "mesh", None) is not None
-                            or getattr(server.engine, "concept_crop",
-                                       False)),
+                        # unavailable only on crop engines (the strip
+                        # program has no shallow variant); mesh engines
+                        # COMPOSE with DeepCache since round 4 (dryrun
+                        # scenario 8 runs generate(mesh, cache_interval))
+                        "deepcache_per_request": not getattr(
+                            server.engine, "concept_crop", False),
                         # full-step placement kinds for the job field
                         # "cache_schedule" (only meaningful with
                         # cache_interval > 1)
@@ -781,6 +782,12 @@ class OMGServer:
                             self.connection.close()
                         except OSError:
                             pass
+                    except ValueError as e:
+                        # submit-time validation (malformed JSON, bad
+                        # scheduler/cache_schedule/prompts fields) is a
+                        # client error; worker-side failures surface as
+                        # RuntimeError and stay 500
+                        self._send(400, json.dumps({"error": str(e)}))
                     except Exception as e:
                         self._send(500, json.dumps({"error": str(e)}))
                 elif self.path == "/generate_form":

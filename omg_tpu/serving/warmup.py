@@ -46,6 +46,7 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
            ip_scale: float = 0.8,
            vae_params=None,
            cache_interval: int = 0,
+           cache_schedule: str = "uniform",
            batch_sizes: Sequence[int] = (),
            log=print) -> int:
     """AOT-compile the serving programs for each (bucket, K).
@@ -76,6 +77,14 @@ def warmup(cfg: sdxl.SDXLConfig, *, unet_params, steps: int = 50,
     d = cfg.unet.cross_attention_dim
     pdim = cfg.text_encoder_2.projection_dim or cfg.text_encoder_2.hidden_size
     sched = schedulers.make_schedule(scheduler, steps)
+    # resolve the DeepCache spec EXACTLY like the engine does: a
+    # non-uniform cache_schedule turns the int interval into a per-step
+    # bool tuple, which is a DIFFERENT static jit key — warming the int
+    # form would miss every front-schedule request (round-5 review)
+    if cache_interval > 1 and cache_schedule != "uniform":
+        cache_interval = multiconcept.deepcache_schedule(
+            steps, cache_interval, kind=cache_schedule,
+            fusion_start=round(steps * fusion_fraction))
     params = _shapes_of(unet_params)
     lora_s = _shapes_of(sample_lora) if sample_lora is not None else None
     ip_layers_s = (_shapes_of(sample_ip_adapter)
@@ -201,6 +210,7 @@ def default_serving_warmup(cfg, *, unet_params, steps: int = 50,
                            sample_lora: Optional[dict] = None,
                            sample_ip_adapter: Optional[list] = None,
                            vae_params=None, cache_interval: int = 0,
+                           cache_schedule: str = "uniform",
                            max_batch: int = 0,
                            log=print) -> int:
     """``max_batch``: the server's microbatch width — also warms the
@@ -210,5 +220,6 @@ def default_serving_warmup(cfg, *, unet_params, steps: int = 50,
                   scheduler=scheduler, sample_lora=sample_lora,
                   sample_ip_adapter=sample_ip_adapter,
                   vae_params=vae_params, cache_interval=cache_interval,
+                  cache_schedule=cache_schedule,
                   batch_sizes=((max_batch,) if max_batch > 1 else ()),
                   log=log)

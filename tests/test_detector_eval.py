@@ -152,3 +152,86 @@ def test_joint_assignment_threshold_and_absent():
 
 if __name__ == "__main__":
     pytest.main([__file__, "-q"])
+
+
+# ----------------------------------------------- production mask path
+
+
+def test_engine_uses_batched_masks_for_with_gate():
+    """OMG queries ALL token-gated classes in one masks_for call when
+    the provider supports it (the joint-assignment production path);
+    non-gated classes are never queried (reference token-gate
+    semantics)."""
+    import jax
+
+    import omg_tpu
+    from omg_tpu.pipelines import sdxl
+    from omg_tpu.text.tokenizer import ToyTokenizer
+
+    calls = {"batch": [], "single": []}
+
+    class Provider:
+        def masks_for(self, image, texts):
+            calls["batch"].append(list(texts))
+            out = []
+            for t in texts:
+                m = np.zeros(image.shape[:2], np.float32)
+                m[:, : image.shape[1] // 2] = 1.0
+                out.append(m)
+            return out
+
+        def __call__(self, image, cls):      # must NOT be used
+            calls["single"].append(cls)
+            return None
+
+    cfg = sdxl.tiny_config()
+    params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
+    eng = omg_tpu.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
+                      tokenizer_2=ToyTokenizer(),
+                      mask_provider=Provider(), num_steps=2)
+    # prompt gates "man" but NOT "woman": only "man" may be queried
+    r = eng.generate("the man at the beach",
+                     prompt_rewrite="[the man]-*-[b]|[the woman]-*-[b]",
+                     seed=3, height=32, width=32)
+    assert calls["batch"] == [["man"]]
+    assert calls["single"] == []
+    assert r.masks[0] is not None and r.masks[1] is None
+    assert r.stage2 is not None
+
+
+def test_sam_mask_provider_batches_through_assign_jointly():
+    """SamMaskProvider.masks_for triggers the detector's joint
+    assignment once, then resolves each class's mask from it."""
+    from omg_tpu.segment.sam_provider import SamMaskProvider
+
+    events = []
+
+    class FakeDetector:
+        def assign_jointly(self, image, texts):
+            events.append(("joint", tuple(texts)))
+            self._boxes = {t: np.asarray([0, 0, 4 + i, 4], np.float32)
+                           for i, t in enumerate(texts)}
+
+        def __call__(self, image, text):
+            events.append(("call", text))
+            return self._boxes.get(text)
+
+    class FakePredictor:
+        def set_image(self, image):
+            pass
+
+        def predict_box(self, box):
+            m = np.zeros((8, 8), bool)
+            m[: int(box[3]), : int(box[2])] = True
+            return m, 0.9
+
+    prov = SamMaskProvider.__new__(SamMaskProvider)
+    prov.predictor = FakePredictor()
+    prov.box_provider = FakeDetector()
+    prov._cached_image_id = None
+    img = np.zeros((8, 8, 3), np.uint8)
+    img[0, 0] = 1
+    masks = prov.masks_for(img, ["a", "b"])
+    assert events[0] == ("joint", ("a", "b"))
+    assert all(m is not None and m.dtype == np.float32 for m in masks)
+    assert masks[0][0, 4] == 0.0 and masks[1][0, 4] == 1.0  # per-class box

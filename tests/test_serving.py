@@ -224,9 +224,21 @@ def test_server_bad_request(server):
                                  headers={"Content-Type": "application/json"})
     try:
         urllib.request.urlopen(req, timeout=60)
-        assert False, "expected 500"
+        assert False, "expected 400"
     except urllib.error.HTTPError as e:
-        assert e.code == 500
+        # malformed JSON is a client error (JSONDecodeError is a
+        # ValueError -> 400); worker failures stay 500
+        assert e.code == 400
+    # a typo'd cache_schedule is also submit-time validation -> 400
+    req = urllib.request.Request(
+        server + "/generate",
+        data=json.dumps({"prompt": "x", "cache_schedule": "frnt"}).encode(),
+        headers={"Content-Type": "application/json"})
+    try:
+        urllib.request.urlopen(req, timeout=60)
+        assert False, "expected 400"
+    except urllib.error.HTTPError as e:
+        assert e.code == 400
 
 
 def _tiny_engine(num_steps=2):
@@ -465,9 +477,11 @@ def test_server_rejects_bad_prompts_field(server):
             headers={"Content-Type": "application/json"})
         try:
             urllib.request.urlopen(req, timeout=60)
-            assert False, f"expected 500 for {bad!r}"
+            assert False, f"expected 400 for {bad!r}"
         except urllib.error.HTTPError as e:
-            assert e.code == 500
+            # submit-time validation is a client error (400); only
+            # worker-side failures are 500
+            assert e.code == 400
 
 
 def test_server_strips_private_job_keys(server):

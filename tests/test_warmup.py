@@ -177,3 +177,53 @@ def test_batch_warmup_matches_engine_generate_batch():
     assert set(warmed) == {"stage1", "stage2"}   # R=1 skipped
     assert warmed["stage1"] == real["stage1"]
     assert warmed["stage2"] == real["stage2"]
+
+def test_warmup_front_schedule_matches_engine_spec():
+    """cache_schedule='front' turns the interval into a per-step tuple
+    — a DIFFERENT static jit key than the int. Warmup must resolve it
+    exactly like the engine (same deepcache_schedule call with the same
+    fusion_start) or every warmed front-engine program misses (round-5
+    review finding)."""
+    cfg = sdxl.tiny_config()
+    steps, H, W = 3, 32, 32
+    params = _unet_shapes(cfg, packed=True)
+    sched = schedulers.make_schedule("euler", steps)
+    d = cfg.unet.cross_attention_dim
+    pdim = cfg.text_encoder_2.projection_dim
+    ks = jax.random.split(jax.random.PRNGKey(2), 4)
+    base = multiconcept.make_base_inputs(
+        jax.random.normal(ks[0], (1, 77, d)),
+        jax.random.normal(ks[1], (1, pdim)),
+        jax.random.normal(ks[2], (1, 77, d)),
+        jax.random.normal(ks[3], (1, pdim)),
+        sdxl.add_time_ids((H, W), (0, 0), (H, W)), 7.5)
+    fusion_start = round(steps * 0.3)
+    # the engine-resolved spec (omg.OMG._resolve_cache_spec kind='front')
+    spec = multiconcept.deepcache_schedule(steps, 2, kind="front",
+                                           fusion_start=fusion_start)
+    lat = sdxl.prepare_latents(jax.random.PRNGKey(3), 1, H, W, sched,
+                               cfg.unet.dtype)
+    st = schedulers.init_state(sched, lat.shape)
+    boundary = min(fusion_start + 1, steps)
+    real = multiconcept._denoise_cfg_range.lower(
+        cfg, sched, params, lat, st, base, i0=0, i1=boundary,
+        cache_interval=spec).as_text()
+
+    lowered = []
+    orig = multiconcept._denoise_cfg_range.lower
+
+    def spy(*a, **k):
+        out = orig(*a, **k)
+        lowered.append(out.as_text())
+        return out
+
+    multiconcept._denoise_cfg_range.lower = spy
+    try:
+        warmup.warmup(cfg, unet_params=params, steps=steps,
+                      buckets=((H, W),), concept_counts=(2,),
+                      fusion_fraction=0.3, cache_interval=2,
+                      cache_schedule="front", log=lambda *_: None)
+    finally:
+        multiconcept._denoise_cfg_range.lower = orig
+    assert len(lowered) == 1
+    assert lowered[0] == real

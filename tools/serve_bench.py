@@ -62,6 +62,27 @@ def _free_port() -> int:
     return port
 
 
+def make_strip_provider(counter: dict):
+    """Host-instant deterministic strip-mask stub shared by the serving
+    benchmarks (detection itself is measured separately: SAM xl1 encode
+    179 ms + decode 6.6 ms, PARITY §6). Deterministic side per class —
+    NOT hash(cls), which is PYTHONHASHSEED-randomized across processes
+    (ADVICE round 4). ``counter["n"]`` counts calls so benches can
+    assert the token gate actually fired."""
+    import numpy as np
+
+    def provider(image, cls):
+        counter["n"] += 1
+        m = np.zeros(image.shape[:2], np.float32)
+        if cls == "man":
+            m[:, : image.shape[1] // 2] = 1.0
+        else:
+            m[:, image.shape[1] // 2:] = 1.0
+        return m
+
+    return provider
+
+
 def main():
     import jax
     try:
@@ -100,19 +121,7 @@ def main():
     params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
 
     provider_calls = {"n": 0}
-
-    def provider(image, cls):
-        # host-instant strip stub (detection itself is measured
-        # separately: SAM xl1 encode 179 ms + decode 6.6 ms, PARITY §6).
-        # Deterministic side per class — NOT hash(cls), which is
-        # PYTHONHASHSEED-randomized across processes (ADVICE round 4).
-        provider_calls["n"] += 1
-        m = np.zeros(image.shape[:2], np.float32)
-        if cls == "man":
-            m[:, : image.shape[1] // 2] = 1.0
-        else:
-            m[:, image.shape[1] // 2:] = 1.0
-        return m
+    provider = make_strip_provider(provider_calls)
 
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
                          tokenizer_2=ToyTokenizer(), mask_provider=provider,

@@ -19,21 +19,15 @@ Env: OMG_SOAK_REPS (default 1), OMG_SOAK_SIZE=tiny for a CPU smoke run.
 import hashlib
 import json
 import os
-import socket
 import sys
 import threading
 import time
 import urllib.request
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-
-def _free_port() -> int:
-    s = socket.socket()
-    s.bind(("127.0.0.1", 0))
-    port = s.getsockname()[1]
-    s.close()
-    return port
+from serve_bench import _free_port, make_strip_provider  # noqa: E402
 
 
 def main():
@@ -65,15 +59,7 @@ def main():
     reps = int(os.environ.get("OMG_SOAK_REPS", "1"))
 
     params = sdxl.init_params(jax.random.PRNGKey(0), cfg)
-
-    def provider(image, cls):
-        m = np.zeros(image.shape[:2], np.float32)
-        if cls == "man":
-            m[:, : image.shape[1] // 2] = 1.0
-        else:
-            m[:, image.shape[1] // 2:] = 1.0
-        return m
-
+    provider = make_strip_provider({"n": 0})
     engine = omg_lib.OMG(cfg=cfg, params=params, tokenizer=ToyTokenizer(),
                          tokenizer_2=ToyTokenizer(), mask_provider=provider,
                          num_steps=steps)

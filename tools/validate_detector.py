@@ -178,14 +178,12 @@ def main():
         # same metric, real weights: composed scenes with known masks,
         # color-word classes real CLIP can score
         from omg_tpu.segment import detector_eval as de
-        all_classes = list(de.CLASS_COLORS)
-        cases = []
-        for i in range(args.composites):
-            k = 2 + (i % 2)
-            rot = [all_classes[(i + j) % len(all_classes)]
-                   for j in range(k)]
-            cases.append(de.make_composite(1000 + i, rot, h=256, w=384))
-        comp = de.evaluate(det, cases)
+        # SAME recipe as the tracked CI score (one shared builder so the
+        # real-weights number stays comparable), at a resolution real
+        # CLIP crops are meaningful at
+        cases, absents = de.build_cases(args.composites, h=256, w=384)
+        comp = de.evaluate(det, cases,
+                           query_absent=sorted(set(absents)))
         report["composite_eval"] = comp
         print(json.dumps({k: v for k, v in comp.items()
                           if k != "per_case"}, indent=2))
