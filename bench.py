@@ -230,7 +230,7 @@ def main():
         p50 = float(np.median(times))
         ipm = 60.0 * R / p50
         result = {
-            "metric": f"omg_2concept_{geom}_50step_images_per_min_chip",
+            "metric": f"omg_2concept_{geom}_{steps}step_images_per_min_chip",
             "value": round(ipm, 3),
             "unit": "images/min/chip",
             "vs_baseline": round(ipm / 12.0, 3),  # 12/min == 5 s/image
@@ -492,7 +492,7 @@ def main():
     except Exception:
         pass
     result = {
-        "metric": f"omg_2concept_{geom}_50step_e2e_latency",
+        "metric": f"omg_2concept_{geom}_{steps}step_e2e_latency",
         "value": round(p50, 3),
         "unit": "s",
         "vs_baseline": round(target_s / p50, 3),
